@@ -1,0 +1,421 @@
+"""Transformer building blocks of the 3D UNet (flax.linen).
+
+TPU-native redesign of the reference attention stack
+(reference: CamContextI2V/lvdm/modules/attention.py). Differences from the
+reference by design:
+
+  * all attention goes through `ops.attention.dot_product_attention` (the
+    single Pallas swap point) rather than per-module einsum/xformers branches;
+  * the camera-conditioning hooks of the temporal blocks (Plücker projection +
+    epipolar attention, installed by monkey-patching in the reference —
+    model/camcontexti2v.py:111-170, model/modules/modified_forwards.py:505-536)
+    are explicit, config-driven submodules here (`use_camera`, `use_epipolar`,
+    `add_type` fields);
+  * tensors are channels-last.
+
+Shapes: token tensors are (N, L, C). SpatialTransformer consumes (B*T, H, W, C)
+feature maps; TemporalTransformer consumes (B, T, H, W, C).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from camc2v_tpu.nn.layers import Conv, Dense, Dtype, GroupNorm32, LayerNormF32
+from camc2v_tpu.nn.epipolar import Epipolar, EpipolarConfig
+from camc2v_tpu.ops.attention import dot_product_attention
+
+
+class RelativePosition(nn.Module):
+    """Learned relative-position embedding table for temporal attention.
+
+    reference: lvdm/modules/attention.py:22-41.
+    """
+
+    num_units: int
+    max_relative_position: int
+
+    @nn.compact
+    def __call__(self, length_q: int, length_k: int) -> jax.Array:
+        table = self.param(
+            "embeddings_table",
+            nn.initializers.xavier_uniform(),
+            (self.max_relative_position * 2 + 1, self.num_units),
+            jnp.float32,
+        )
+        range_q = jnp.arange(length_q)
+        range_k = jnp.arange(length_k)
+        distance = range_k[None, :] - range_q[:, None]
+        idx = jnp.clip(distance, -self.max_relative_position, self.max_relative_position)
+        idx = idx + self.max_relative_position
+        return table[idx]  # (Lq, Lk, num_units)
+
+
+class CrossAttention(nn.Module):
+    """Multi-head (cross-)attention with optional dual text/image context branch
+    and optional temporal relative-position bias.
+
+    reference: lvdm/modules/attention.py:44-211. The dual branch splits context
+    into the first `text_context_len` text tokens (attended by to_k/to_v) and the
+    remaining per-frame image tokens (attended by to_k_ip/to_v_ip); outputs are
+    combined as `out + scale * out_ip * (tanh(alpha) + 1)` when the learnable
+    gate is enabled.
+    """
+
+    query_dim: int
+    context_dim: Optional[int] = None  # None => self-attention
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+    relative_position: bool = False
+    temporal_length: Optional[int] = None
+    image_cross_attention: bool = False
+    image_cross_attention_scale: float = 1.0
+    image_cross_attention_scale_learnable: bool = False
+    text_context_len: int = 77
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        mask: Optional[jax.Array] = None,
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        inner = self.heads * self.dim_head
+        h, d = self.heads, self.dim_head
+        self_attn = context is None
+        ctx = x if context is None else context
+
+        q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+
+        ctx_img = None
+        if self.image_cross_attention and not self_attn:
+            ctx, ctx_img = ctx[:, : self.text_context_len], ctx[:, self.text_context_len :]
+        elif not self_attn:
+            ctx = ctx[:, : self.text_context_len]
+
+        k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+
+        split = lambda t: t.reshape(t.shape[0], t.shape[1], h, d)
+        qh, kh, vh = split(q), split(k), split(v)
+
+        bias = None
+        if self.relative_position:
+            assert self.temporal_length is not None
+            lq, lk = q.shape[1], k.shape[1]
+            k2 = RelativePosition(d, self.temporal_length, name="relative_position_k")(lq, lk)
+            # (B, H, Lq, Lk) additive bias: q·k2 along head dim
+            bias = jnp.einsum("bqhd,qkd->bhqk", qh.astype(jnp.float32), k2) * (d**-0.5)
+
+        attn_mask = None
+        if mask is not None:
+            # mask: (B, Lq, Lk) bool, True = attend
+            attn_mask = mask[:, None, :, :]
+
+        out = dot_product_attention(qh, kh, vh, bias=bias, mask=attn_mask)
+
+        if self.relative_position:
+            # second-order value term: probs @ v2 — requires explicit probs; the
+            # flagship configs disable relative_position, so recompute exactly.
+            lq, lk = q.shape[1], k.shape[1]
+            logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32) * (d**-0.5)
+            if bias is not None:
+                logits = logits + bias
+            if attn_mask is not None:
+                logits = jnp.where(attn_mask, logits, jnp.finfo(jnp.float32).min)
+            probs = jax.nn.softmax(logits, axis=-1)
+            v2 = RelativePosition(d, self.temporal_length, name="relative_position_v")(lq, lk)
+            out2 = jnp.einsum("bhqk,qkd->bqhd", probs, v2)
+            out = out + out2.astype(out.dtype)
+
+        out = out.reshape(out.shape[0], out.shape[1], inner)
+
+        if ctx_img is not None:
+            k_ip = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k_ip")(ctx_img)
+            v_ip = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v_ip")(ctx_img)
+            out_ip = dot_product_attention(qh, split(k_ip), split(v_ip))
+            out_ip = out_ip.reshape(out.shape[0], out.shape[1], inner)
+            if self.image_cross_attention_scale_learnable:
+                alpha = self.param("alpha", nn.initializers.zeros_init(), (), jnp.float32)
+                out = out + self.image_cross_attention_scale * out_ip * (jnp.tanh(alpha) + 1.0)
+            else:
+                out = out + self.image_cross_attention_scale * out_ip
+
+        out = Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
+        if self.dropout > 0:
+            out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        return out
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        proj = Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        x, gate = jnp.split(proj, 2, axis=-1)
+        return x * nn.gelu(gate)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward. reference: lvdm/modules/attention.py:431-458."""
+
+    dim_out: int
+    mult: int = 4
+    glu: bool = True
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        inner = int(x.shape[-1] * self.mult)
+        if self.glu:
+            h = GEGLU(inner, dtype=self.dtype, name="geglu")(x)
+        else:
+            h = nn.gelu(Dense(inner, dtype=self.dtype, name="fc1")(x))
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return Dense(self.dim_out, dtype=self.dtype, name="fc2")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """attn1(self) -> attn2(cross/self) -> FF, each with pre-LN residual.
+
+    For temporal blocks (`is_temporal=True`) the camera hooks may be enabled:
+      * `use_camera`: zero-init Dense `pluker_projection` over
+        (normed_x + plucker features);
+      * `epipolar`: an `Epipolar` spatio-temporal masked attention module.
+    Their sum `zero_init_x` is injected either into the attn1 input
+    (add_type='add_into_temporal_attn') or straight onto the residual stream
+    (add_type='add_to_main_branch').
+    reference: modified_forwards.py:505-536.
+    """
+
+    dim: int
+    n_heads: int
+    d_head: int
+    dropout: float = 0.0
+    context_dim: Optional[int] = None
+    disable_self_attn: bool = False
+    relative_position: bool = False
+    temporal_length: Optional[int] = None
+    image_cross_attention: bool = False
+    image_cross_attention_scale_learnable: bool = False
+    text_context_len: int = 77
+    is_temporal: bool = False
+    use_camera: bool = False
+    epipolar: Optional[EpipolarConfig] = None
+    add_type: str = "add_to_main_branch"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        mask: Optional[jax.Array] = None,
+        camera: Optional[dict] = None,
+        *,
+        spatial_hw: Optional[tuple[int, int]] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        attn1 = CrossAttention(
+            query_dim=self.dim,
+            context_dim=self.context_dim if self.disable_self_attn else None,
+            heads=self.n_heads,
+            dim_head=self.d_head,
+            dropout=self.dropout,
+            relative_position=self.relative_position,
+            temporal_length=self.temporal_length,
+            dtype=self.dtype,
+            name="attn1",
+        )
+        normed_x = LayerNormF32(name="norm1")(x)
+
+        if self.is_temporal and camera is not None and (self.use_camera or self.epipolar is not None):
+            assert spatial_hw is not None, "temporal camera injection needs the (h, w) of this level"
+            hh, ww = spatial_hw
+            b = x.shape[0] // (hh * ww)
+            t = x.shape[1]
+            zero_init_x = jnp.zeros_like(normed_x)
+
+            plucker = camera.get("plucker")  # (B, T, h, w, C) for this level, or None
+            if self.use_camera and plucker is not None:
+                # (B, T, h, w, C) -> (B*h*w, T, C) token layout of the temporal stream
+                pl_tokens = plucker.transpose(0, 2, 3, 1, 4).reshape(b * hh * ww, t, -1)
+                pl_tokens = pl_tokens.astype(normed_x.dtype)
+                proj = Dense(self.dim, zero_init=True, dtype=self.dtype, name="pluker_projection")
+                zero_init_x = zero_init_x + proj(normed_x + pl_tokens)
+                epi_in = normed_x + pl_tokens
+            else:
+                epi_in = normed_x
+
+            if self.epipolar is not None:
+                epi = Epipolar(config=self.epipolar, query_dim=self.dim, heads=self.n_heads,
+                               dtype=self.dtype, name="epipolar")
+                # (B*h*w, T, C) -> (B, T, h, w, C)
+                feats = epi_in.reshape(b, hh, ww, t, -1).transpose(0, 3, 1, 2, 4)
+                epi_out = epi(
+                    feats,
+                    masks=camera.get("masks"),
+                    cond_frame_index=camera.get("cond_frame_index"),
+                )  # (B*h*w, T, C)
+                zero_init_x = zero_init_x + epi_out
+
+            if self.add_type == "add_to_main_branch":
+                x = zero_init_x + attn1(normed_x, mask=mask, deterministic=deterministic) + x
+            elif self.add_type == "add_into_temporal_attn":
+                x = attn1(normed_x + zero_init_x, mask=mask, deterministic=deterministic) + x
+            else:
+                raise ValueError(f"unknown add_type '{self.add_type}'")
+        else:
+            x = attn1(
+                normed_x,
+                context=context if self.disable_self_attn else None,
+                mask=mask,
+                deterministic=deterministic,
+            ) + x
+
+        x = CrossAttention(
+            query_dim=self.dim,
+            context_dim=self.context_dim,
+            heads=self.n_heads,
+            dim_head=self.d_head,
+            dropout=self.dropout,
+            relative_position=self.relative_position if self.context_dim is None else False,
+            temporal_length=self.temporal_length,
+            image_cross_attention=self.image_cross_attention,
+            image_cross_attention_scale_learnable=self.image_cross_attention_scale_learnable,
+            text_context_len=self.text_context_len,
+            dtype=self.dtype,
+            name="attn2",
+        )(LayerNormF32(name="norm2")(x), context=context, mask=mask, deterministic=deterministic) + x
+
+        x = FeedForward(self.dim, dropout=self.dropout, dtype=self.dtype, name="ff")(
+            LayerNormF32(name="norm3")(x), deterministic=deterministic
+        ) + x
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """Per-frame spatial transformer over H*W tokens.
+
+    reference: lvdm/modules/attention.py:256-320 (use_linear projections).
+    Input: (B*T, H, W, C) -> same.
+    """
+
+    in_channels: int
+    n_heads: int
+    d_head: int
+    depth: int = 1
+    dropout: float = 0.0
+    context_dim: Optional[int] = None
+    disable_self_attn: bool = False
+    video_length: Optional[int] = None
+    image_cross_attention: bool = False
+    image_cross_attention_scale_learnable: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, context: Optional[jax.Array] = None, *, deterministic: bool = True
+    ) -> jax.Array:
+        n, hh, ww, c = x.shape
+        inner = self.n_heads * self.d_head
+        x_in = x
+        x = GroupNorm32(epsilon=1e-6, name="norm")(x)
+        x = x.reshape(n, hh * ww, c)
+        x = Dense(inner, dtype=self.dtype, name="proj_in")(x)
+        for i in range(self.depth):
+            x = BasicTransformerBlock(
+                dim=inner,
+                n_heads=self.n_heads,
+                d_head=self.d_head,
+                dropout=self.dropout,
+                context_dim=self.context_dim,
+                disable_self_attn=self.disable_self_attn,
+                image_cross_attention=self.image_cross_attention,
+                image_cross_attention_scale_learnable=self.image_cross_attention_scale_learnable,
+                dtype=self.dtype,
+                name=f"block_{i}",
+            )(x, context=context, deterministic=deterministic)
+        x = Dense(self.in_channels, zero_init=True, dtype=self.dtype, name="proj_out")(x)
+        return x.reshape(n, hh, ww, c) + x_in
+
+
+class TemporalTransformer(nn.Module):
+    """Temporal transformer over T tokens per pixel, with camera hooks.
+
+    reference: lvdm/modules/attention.py:323-428 + modified_forwards.py:401-450.
+    Input: (B, T, H, W, C) -> same.
+    """
+
+    in_channels: int
+    n_heads: int
+    d_head: int
+    depth: int = 1
+    dropout: float = 0.0
+    only_self_att: bool = True
+    causal_attention: bool = False
+    relative_position: bool = False
+    temporal_length: Optional[int] = None
+    use_camera: bool = False
+    epipolar: Optional[EpipolarConfig] = None
+    add_type: str = "add_to_main_branch"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        camera: Optional[dict] = None,
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        b, t, hh, ww, c = x.shape
+        inner = self.n_heads * self.d_head
+        x_in = x
+        x = GroupNorm32(epsilon=1e-6, name="norm")(x)
+        # (B, T, H, W, C) -> (B*H*W, T, C)
+        x = x.transpose(0, 2, 3, 1, 4).reshape(b * hh * ww, t, c)
+        x = Dense(inner, dtype=self.dtype, name="proj_in")(x)
+
+        mask = None
+        if self.causal_attention:
+            causal = jnp.tril(jnp.ones((t, t), dtype=bool))
+            mask = jnp.broadcast_to(causal[None], (b * hh * ww, t, t))
+
+        cam_level = None
+        if camera is not None:
+            cam_level = camera
+
+        for i in range(self.depth):
+            x = BasicTransformerBlock(
+                dim=inner,
+                n_heads=self.n_heads,
+                d_head=self.d_head,
+                dropout=self.dropout,
+                context_dim=None if self.only_self_att else None,
+                relative_position=self.relative_position,
+                temporal_length=self.temporal_length,
+                is_temporal=True,
+                use_camera=self.use_camera,
+                epipolar=self.epipolar,
+                add_type=self.add_type,
+                dtype=self.dtype,
+                name=f"block_{i}",
+            )(x, mask=mask, camera=cam_level, spatial_hw=(hh, ww), deterministic=deterministic)
+
+        x = Dense(self.in_channels, zero_init=True, dtype=self.dtype, name="proj_out")(x)
+        x = x.reshape(b, hh, ww, t, c).transpose(0, 3, 1, 2, 4)
+        return x + x_in

@@ -1,0 +1,154 @@
+"""Epipolar-masked spatio-temporal attention.
+
+reference: CamContextI2V/model/modules/epipolar.py. The boolean masks
+(per-resolution, built from fundamental matrices by camera/geometry.py) arrive
+as a dict {downsample_factor: (B, T*h*w, T*h*w)}; this module selects the one
+matching its feature resolution. Register tokens are learned context tokens
+prepended with an always-True mask column.
+
+Round-1 implementation materialises the mask and runs masked XLA attention;
+the Pallas block-sparse kernel (ops/epipolar_attention.py) computes the mask
+on the fly from F-matrices and replaces the dense path at full resolution.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from camc2v_tpu.nn.layers import Dense, Dtype
+from camc2v_tpu.ops.attention import dot_product_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class EpipolarConfig:
+    """Static configuration of the epipolar attention modules (hashable)."""
+
+    origin_h: int = 256
+    origin_w: int = 256
+    is_3d_full_attn: bool = False
+    num_register_tokens: int = 0
+    compression_factor: int = 1
+    only_on_cond_frame: bool = False
+    attention_resolution: tuple[int, ...] = (8, 4, 2, 1)
+    # mask-construction behaviour (consumed by camera/geometry.py)
+    apply_epipolar_soft_mask: bool = False
+    soft_mask_temperature: float = 1.0
+    epipolar_hybrid_attention: bool = False
+    epipolar_hybrid_attention_v2: bool = False
+    only_self_pixel_on_current_frame: bool = False
+    current_frame_as_register_token: bool = False
+    add_small_perturbation_on_zero_T: bool = False
+    pluker_add_type: str = "add_to_pre_x_only"
+
+
+class EpipolarCrossAttention(nn.Module):
+    """Masked cross-attention with optional learned register tokens.
+
+    reference: model/modules/epipolar.py:43-102. `zero_init_out` gives the
+    zero-initialised output projection used when wrapped by `Epipolar`.
+    """
+
+    query_dim: int
+    context_dim: Optional[int] = None
+    out_dim: Optional[int] = None
+    heads: int = 8
+    dim_head: int = 64
+    num_register_tokens: int = 0
+    zero_init_out: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, context: jax.Array, attn_mask: Optional[jax.Array] = None
+    ) -> jax.Array:
+        """x: (B, L1, C); context: (B, L2, C); attn_mask: (B, L1, L2) bool (True=attend)."""
+        inner = self.heads * self.dim_head
+        b = x.shape[0]
+
+        q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+
+        if self.num_register_tokens > 0:
+            ctx_dim = context.shape[-1]
+            reg = self.param(
+                "register_tokens",
+                nn.initializers.normal(1.0),
+                (1, self.num_register_tokens, ctx_dim),
+                jnp.float32,
+            )
+            reg = jnp.broadcast_to(reg, (b, self.num_register_tokens, ctx_dim)).astype(context.dtype)
+            context = jnp.concatenate([reg, context], axis=1)
+            if attn_mask is not None:
+                pad = jnp.ones((b, attn_mask.shape[1], self.num_register_tokens), dtype=bool)
+                attn_mask = jnp.concatenate([pad, attn_mask], axis=-1)
+
+        k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+
+        split = lambda t: t.reshape(t.shape[0], t.shape[1], self.heads, self.dim_head)
+        out = dot_product_attention(
+            split(q), split(k), split(v),
+            mask=None if attn_mask is None else attn_mask[:, None, :, :],
+        )
+        out = out.reshape(b, -1, inner)
+        out_dim = self.out_dim if self.out_dim is not None else self.query_dim
+        return Dense(out_dim, zero_init=self.zero_init_out, dtype=self.dtype, name="to_out")(out)
+
+
+class Epipolar(nn.Module):
+    """Spatio-temporal attention over T*h*w tokens, masked by epipolar geometry.
+
+    reference: model/modules/epipolar.py:105-157. Input features
+    (B, T, h, w, C); returns (B*h*w, T, C) tokens matching the temporal stream.
+    """
+
+    config: EpipolarConfig
+    query_dim: int
+    heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        features: jax.Array,
+        masks: Optional[dict[int, jax.Array]] = None,
+        cond_frame_index: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        b, t, hh, ww, c = features.shape
+        cfg = self.config
+
+        attn_mask = None
+        if masks is not None and not cfg.is_3d_full_attn:
+            attn_mask = masks.get(cfg.origin_h // hh)
+
+        x = features.reshape(b, t * hh * ww, c)
+        if not cfg.only_on_cond_frame:
+            context = x
+        else:
+            assert cond_frame_index is not None
+            # select the cond frame of each batch element: (B, h*w, C)
+            sel = jnp.take_along_axis(features, cond_frame_index[:, None, None, None, None], axis=1)
+            context = sel.reshape(b, hh * ww, c)
+            if attn_mask is not None:
+                m = attn_mask.reshape(b, t * hh * ww, t, hh * ww)
+                attn_mask = jnp.take_along_axis(
+                    m, cond_frame_index[:, None, None, None], axis=2
+                ).reshape(b, t * hh * ww, hh * ww)
+
+        out = EpipolarCrossAttention(
+            query_dim=self.query_dim,
+            context_dim=self.query_dim,
+            heads=self.heads,
+            dim_head=int(self.query_dim // self.heads // cfg.compression_factor),
+            num_register_tokens=cfg.num_register_tokens,
+            zero_init_out=True,
+            dtype=self.dtype,
+            name="epipolar_attn",
+        )(x, context, attn_mask)
+
+        # (B, T*h*w, C) -> (B*h*w, T, C)
+        return out.reshape(b, t, hh * ww, -1).transpose(0, 2, 1, 3).reshape(b * hh * ww, t, -1)

@@ -1,0 +1,92 @@
+"""Functional attention core.
+
+One entry point — `dot_product_attention(q, k, v, ...)` over (B, L, H, D) —
+that every attention module in the framework calls. This is the single swap
+point for the fused Pallas flash-attention kernel (ops/flash_attention.py):
+modules never spell out einsums themselves.
+
+Replaces the reference's xformers `memory_efficient_attention` +
+`torch.nn.functional.scaled_dot_product_attention` call sites
+(reference: CamContextI2V/lvdm/modules/attention.py:148-211,
+model/modules/epipolar.py:99).
+
+Numerics: QK^T and PV products run in the input dtype (bf16 on TPU → MXU),
+softmax accumulates in float32 — matching both xformers and SDPA semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# Toggled by ops.flash_attention.enable() once the Pallas kernel is selected.
+_USE_PALLAS_FLASH = False
+
+
+def use_pallas_flash(enabled: bool = True) -> None:
+    global _USE_PALLAS_FLASH
+    _USE_PALLAS_FLASH = enabled
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    bias: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Multi-head scaled dot-product attention.
+
+    Args:
+      q: (B, Lq, H, D)
+      k: (B, Lk, H, D)
+      v: (B, Lk, H, D)
+      bias: optional additive logits bias, broadcastable to (B, H, Lq, Lk)
+      mask: optional boolean mask, True = attend, broadcastable to (B, H, Lq, Lk)
+      scale: logit scale; default D**-0.5
+
+    Returns: (B, Lq, H, D) in q.dtype.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+
+    if _USE_PALLAS_FLASH and bias is None and q.shape[1] > 128:
+        from camc2v_tpu.ops import flash_attention as fa
+
+        return fa.flash_attention(q, k, v, mask=mask, scale=scale)
+
+    return _xla_attention(q, k, v, bias=bias, mask=mask, scale=scale)
+
+
+def _xla_attention(q, k, v, *, bias, mask, scale):
+    dtype = q.dtype
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if mask is not None:
+        big_neg = jnp.finfo(jnp.float32).min
+        logits = jnp.where(mask, logits, big_neg)
+    probs = jax.nn.softmax(logits, axis=-1)
+    # fully-masked query rows produce uniform probs over masked keys after the
+    # where() above only when at least one key survives; guard the all-masked
+    # case (reference relies on hybrid-attention fallbacks instead — keep the
+    # raw softmax semantics here to match SDPA).
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dtype), v, preferred_element_type=jnp.float32)
+    return out.astype(dtype)
+
+
+def attention_merged_heads(
+    q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int, **kwargs
+) -> jax.Array:
+    """Attention over (B, L, H*D) inputs, splitting/merging heads internally."""
+    b, lq, inner = q.shape
+    d = inner // num_heads
+    split = lambda x: x.reshape(x.shape[0], x.shape[1], num_heads, d)
+    out = dot_product_attention(split(q), split(k), split(v), **kwargs)
+    return out.reshape(b, lq, inner)
