@@ -1,0 +1,136 @@
+"""DDIM sampler as a single jit-compiled `lax.scan` — no host round-trips.
+
+Re-derives the reference's DDIM loop
+(reference: CamContextI2V/lvdm/models/samplers/ddim.py:133-346) as a pure
+function. Guidance (text/image CFG, camera-CFG third pass, guidance rescale)
+lives in the model-provided `model_out_fn` closure (see
+DynamiCrafter.build_guided_fn) so that fused-batch CFG is a single UNet launch;
+the scan body here owns only the DDIM update math, eta-noise, and the
+paste-cond-frame / paste-overlap-frames latent surgery. Every per-step scalar
+is a static gather from the `DDIMSchedule` pytree.
+
+The reference crosses host<->device twice per step (Python loop + buffer
+indexing); here the entire trajectory compiles to one XLA program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from camc2v_tpu.core.schedules import (
+    DDIMSchedule,
+    DiffusionSchedule,
+    predict_eps_from_z_and_v,
+    predict_start_from_z_and_v,
+    q_sample,
+)
+
+# (x, t) -> guided model output (already CFG-combined)
+ModelOutFn = Callable[[jax.Array, jax.Array], jax.Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerOptions:
+    """Static sampling options (hashable; safe to close over under jit)."""
+
+    temperature: float = 1.0
+    parameterization: str = "eps"
+    paste_cond_frame: bool = False
+    num_overlap: int = 0  # paste_overlap_frames when > 0
+
+
+def ddim_sample(
+    rng: jax.Array,
+    ddim: DDIMSchedule,
+    x_T: jax.Array,
+    model_out_fn: ModelOutFn,
+    *,
+    options: SamplerOptions = SamplerOptions(),
+    schedule: Optional[DiffusionSchedule] = None,
+    origin_z0: Optional[jax.Array] = None,
+    cond_frame_index: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Run the full DDIM trajectory from x_T.
+
+    Args:
+      rng: PRNG key for the eta-noise (and overlap re-noising).
+      ddim: per-step schedule buffers.
+      x_T: (B, T, h, w, C) initial noise.
+      model_out_fn: guided denoiser closure.
+      schedule: full DDPM schedule; required for v-parameterization and the
+        latent-surgery q_sample re-noising.
+      origin_z0: clean latents for paste_cond_frame / paste_overlap_frames
+        surgery (reference: samplers/ddim.py:182-235).
+      cond_frame_index: (B,) index of the conditioning frame.
+
+    Returns: final denoised latents (B, T, h, w, C).
+    """
+    opt = options
+    S = ddim.num_steps
+    b = x_T.shape[0]
+    tdim = x_T.shape[1]
+
+    if opt.num_overlap > 0 or opt.paste_cond_frame:
+        assert origin_z0 is not None
+    if opt.num_overlap > 0 or opt.parameterization == "v":
+        assert schedule is not None
+
+    overlap_sel = (jnp.arange(tdim) < opt.num_overlap)[None, :, None, None, None]
+    cond_sel = None
+    if opt.paste_cond_frame:
+        cond_sel = (jnp.arange(tdim)[None, :] == cond_frame_index[:, None])[:, :, None, None, None]
+
+    def body(carry, idx):
+        x, key = carry
+        key, nkey, okey = jax.random.split(key, 3)
+        i = S - 1 - idx  # descending through the ddim table
+        step = ddim.timesteps[i]
+        t = jnp.full((b,), step, dtype=jnp.int32)
+
+        if opt.num_overlap > 0:
+            # re-noise the overlap frames from the clean latents each step
+            noised = q_sample(schedule, origin_z0, t, jax.random.normal(okey, x.shape, x.dtype))
+            x = jnp.where(overlap_sel, noised, x)
+
+        model_output = model_out_fn(x, t)
+
+        if opt.parameterization == "v":
+            e_t = predict_eps_from_z_and_v(schedule, x, t, model_output)
+            pred_x0 = predict_start_from_z_and_v(schedule, x, t, model_output)
+        else:
+            e_t = model_output
+            pred_x0 = (x - ddim.sqrt_one_minus_alphas[i] * e_t) / jnp.sqrt(ddim.alphas[i])
+
+        if opt.paste_cond_frame:
+            pred_x0 = jnp.where(cond_sel, origin_z0, pred_x0)
+        if opt.num_overlap > 0:
+            pred_x0 = jnp.where(overlap_sel, origin_z0, pred_x0)
+
+        a_prev = ddim.alphas_prev[i]
+        sigma_t = ddim.sigmas[i]
+        dir_xt = jnp.sqrt(jnp.clip(1.0 - a_prev - sigma_t**2, 0.0, None)) * e_t
+        noise = sigma_t * jax.random.normal(nkey, x.shape, x.dtype) * opt.temperature
+        x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
+        return (x_prev, key), None
+
+    (x, _), _ = jax.lax.scan(body, (x_T, rng), jnp.arange(S))
+
+    # final latent surgery (reference: ddim.py:226-238)
+    if opt.num_overlap > 0:
+        x = jnp.where(overlap_sel, origin_z0, x)
+    if opt.paste_cond_frame:
+        x = jnp.where(cond_sel, origin_z0, x)
+    return x
+
+
+def ddim_stochastic_encode(
+    ddim: DDIMSchedule, x0: jax.Array, t_index: jax.Array, noise: jax.Array
+) -> jax.Array:
+    """Noise x0 to the t_index-th DDIM step. reference: ddim.py:370-384."""
+    a = jnp.sqrt(ddim.alphas[t_index]).reshape(-1, *([1] * (x0.ndim - 1)))
+    om = ddim.sqrt_one_minus_alphas[t_index].reshape(-1, *([1] * (x0.ndim - 1)))
+    return a * x0 + om * noise

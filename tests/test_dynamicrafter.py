@@ -1,0 +1,122 @@
+"""End-to-end tiny-config DynamiCrafter: training loss + DDIM sampling on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from camc2v_tpu.models.dynamicrafter import (
+    DynamiCrafter,
+    DynamiCrafterConfig,
+    ResamplerConfig,
+)
+from camc2v_tpu.nn.clip import CLIPTextConfig, CLIPVisionConfig
+from camc2v_tpu.nn.unet3d import UNetConfig
+from camc2v_tpu.nn.vae import VAEConfig
+
+T = 4
+IMG = 32  # video resolution; latent 4x4
+
+
+def tiny_config(**overrides):
+    base = dict(
+        unet=UNetConfig(
+            in_channels=8, out_channels=4, model_channels=32, num_res_blocks=1,
+            attention_resolutions=(1,), channel_mult=(1, 2), num_head_channels=8,
+            context_dim=16, temporal_length=T, addition_attention=True,
+            image_cross_attention=True, image_cross_attention_scale_learnable=True,
+            fs_condition=True, text_context_len=7, img_tokens_per_frame=2,
+        ),
+        vae=VAEConfig(resolution=IMG, ch=16, ch_mult=(1, 2, 4), num_res_blocks=1, z_channels=4, embed_dim=4),
+        clip_text=CLIPTextConfig(vocab_size=64, context_length=7, width=16, heads=2, layers=2),
+        clip_vision=CLIPVisionConfig(image_size=224, patch_size=112, width=16, heads=2, layers=1),
+        resampler=ResamplerConfig(
+            dim=16, depth=1, dim_head=8, heads=2, num_queries=2, embedding_dim=16,
+            output_dim=16, video_length=T, use_timestep_emb=True,
+        ),
+        loss_type="l2_log",
+        timesteps=100,
+    )
+    base.update(overrides)
+    return DynamiCrafterConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = DynamiCrafter(tiny_config(), dtype=jnp.float32)
+    params = model.init_params(jax.random.key(0), image_hw=(IMG, IMG))
+    # perturb the zero-init output conv so the denoiser is non-degenerate
+    # (guidance_rescale divides by the std of the model output; an all-zero
+    # output — impossible with trained weights — would produce 0/0)
+    k = params["unet"]["out_conv"]["kernel"]
+    params["unet"]["out_conv"]["kernel"] = 0.02 * jax.random.normal(jax.random.key(9), k.shape, k.dtype)
+    return model, params
+
+
+def _batch(b=1):
+    rng = np.random.default_rng(0)
+    return {
+        "video": jnp.asarray(rng.uniform(-1, 1, (b, T, IMG, IMG, 3)), jnp.float32),
+        "caption_tokens": jnp.zeros((b, 7), jnp.int32),
+        "frame_stride": jnp.full((b,), 3, jnp.int32),
+    }
+
+
+def test_training_loss_finite(model_and_params):
+    model, params = model_and_params
+    loss, metrics = model.training_loss(params, _batch(), jax.random.key(1))
+    assert np.isfinite(float(loss))
+    assert "loss_simple" in metrics
+
+
+def test_l2_log_weights_later_frames_more(model_and_params):
+    model, params = model_and_params
+    pred = jnp.zeros((1, T, 4, 4, 4))
+    target = jnp.ones((1, T, 4, 4, 4))
+    loss = model.get_loss(pred, target)
+    per_frame = np.asarray(loss).mean(axis=(0, 2, 3, 4))
+    assert np.all(np.diff(per_frame) > 0)  # log10(2..T+1) increasing
+    np.testing.assert_allclose(per_frame.sum(), 1.0, rtol=1e-5)
+
+
+def test_cfg_dropout_masks(model_and_params):
+    model, params = model_and_params
+    # inference mode: rng None -> no dropout
+    pm, im = model.cfg_dropout_masks(None, 4)
+    assert not np.asarray(pm).any()
+    np.testing.assert_allclose(np.asarray(im), 1.0)
+    # training: statistics over many draws
+    pm, im = model.cfg_dropout_masks(jax.random.key(0), 4000)
+    assert 0.05 < np.asarray(pm).mean() < 0.15  # ~2*uncond_prob
+    assert 0.05 < (1 - np.asarray(im)).mean() < 0.15
+
+
+def test_ddim_sample_end_to_end(model_and_params):
+    model, params = model_and_params
+    out = model.sample(
+        params, _batch(), jax.random.key(2),
+        ddim_steps=2, guidance_scale=7.5, guidance_rescale=0.7,
+        timestep_spacing="uniform_trailing",
+    )
+    assert out.shape == (1, T, IMG, IMG, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ddim_sample_no_cfg(model_and_params):
+    model, params = model_and_params
+    out = model.sample(params, _batch(), jax.random.key(2), ddim_steps=2, guidance_scale=1.0, decode=False)
+    assert out.shape == (1, T, 8, 8, 4)
+
+
+def test_sample_jits(model_and_params):
+    model, params = model_and_params
+    batch = _batch()
+
+    @jax.jit
+    def run(p, b, key):
+        return model.sample(p, b, key, ddim_steps=2, guidance_scale=7.5, decode=False)
+
+    out = run(params, batch, jax.random.key(3))
+    assert out.shape == (1, T, 8, 8, 4)
+    out2 = run(params, batch, jax.random.key(4))
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
