@@ -150,8 +150,13 @@ class DynamiCrafter:
         z = jnp.zeros((1, T, h, w, cfg.unet.in_channels))
         l_ctx = cfg.unet.text_context_len + T * cfg.unet.img_tokens_per_frame
         ctx = jnp.zeros((1, l_ctx, cfg.unet.context_dim))
+        # camera params only materialise on executed paths — init with a dummy
+        # payload matching the model family (see example_camera_payload)
+        cam = self.example_camera_payload(image_hw)
         params = {
-            "unet": self.unet.init(keys[0], z, jnp.zeros((1,), jnp.int32), ctx, jnp.ones((1,), jnp.int32))["params"],
+            "unet": self.unet.init(
+                keys[0], z, jnp.zeros((1,), jnp.int32), ctx, jnp.ones((1,), jnp.int32), cam
+            )["params"],
             "vae": self.vae.init(keys[1], jnp.zeros((1, H, W, 3)))["params"],
             "clip_text": self.clip_text.init(keys[2], jnp.zeros((1, cfg.clip_text.context_length), jnp.int32))["params"],
             "clip_vision": self.clip_vision.init(
@@ -277,6 +282,10 @@ class DynamiCrafter:
 
     def camera_condition(self, params, batch, cond_frame_index, trace_scale_factor):
         """Hook for camera models (reference: model/base.py:475-476). Base: none."""
+        return None
+
+    def example_camera_payload(self, image_hw: tuple[int, int]) -> Optional[dict]:
+        """Dummy camera payload used at init so camera params materialise."""
         return None
 
     def get_fs(self, batch: dict) -> jax.Array:

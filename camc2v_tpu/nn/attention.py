@@ -215,6 +215,14 @@ class BasicTransformerBlock(nn.Module):
     use_camera: bool = False
     epipolar: Optional[EpipolarConfig] = None
     add_type: str = "add_to_main_branch"
+    # camera_mode selects the injection family:
+    #   "plucker_epipolar" — CamI2V/CamContextI2V (pluker_projection + Epipolar)
+    #   "motionctrl"       — cc_projection([x ‖ RT]) after attn1
+    #                        (reference: baseline/motionctrl/motionctrl_modified_modules.py:184-198)
+    #   "cameractrl"       — attn1(normed_x + cc_projection(normed_x + plucker))
+    #                        (reference: baseline/cameractrl/cameractrl_modified_modules.py:230-244)
+    camera_mode: str = "plucker_epipolar"
+    pose_dim: int = 12
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -241,7 +249,32 @@ class BasicTransformerBlock(nn.Module):
         )
         normed_x = LayerNormF32(name="norm1")(x)
 
-        if self.is_temporal and camera is not None and (self.use_camera or self.epipolar is not None):
+        if self.is_temporal and camera is not None and self.camera_mode == "motionctrl":
+            x = attn1(normed_x, mask=mask, deterministic=deterministic) + x
+            rt = camera["RT"]  # (B, T, pose_dim)
+            hw = x.shape[0] // rt.shape[0]
+            rt_tok = jnp.repeat(rt, hw, axis=0).astype(x.dtype)  # (B*hw, T, pose_dim)
+            # identity-on-x / zero-on-RT init => exact passthrough at init
+            w_init = lambda key, shape, dtype: jnp.concatenate(
+                [jnp.eye(self.dim, dtype=dtype), jnp.zeros((self.pose_dim, self.dim), dtype)], axis=0
+            )
+            x = nn.Dense(
+                self.dim, kernel_init=w_init, bias_init=nn.initializers.zeros_init(),
+                dtype=self.dtype, param_dtype=jnp.float32, name="cc_projection",
+            )(jnp.concatenate([x, rt_tok], axis=-1))
+        elif self.is_temporal and camera is not None and self.camera_mode == "cameractrl":
+            plucker = camera.get("plucker")
+            if plucker is not None:
+                assert spatial_hw is not None
+                hh, ww = spatial_hw
+                b = x.shape[0] // (hh * ww)
+                t = x.shape[1]
+                pl_tokens = plucker.transpose(0, 2, 3, 1, 4).reshape(b * hh * ww, t, -1).astype(normed_x.dtype)
+                cc = Dense(self.dim, zero_init=True, dtype=self.dtype, name="cc_projection")
+                x = attn1(normed_x + cc(normed_x + pl_tokens), mask=mask, deterministic=deterministic) + x
+            else:
+                x = attn1(normed_x, mask=mask, deterministic=deterministic) + x
+        elif self.is_temporal and camera is not None and (self.use_camera or self.epipolar is not None):
             assert spatial_hw is not None, "temporal camera injection needs the (h, w) of this level"
             hh, ww = spatial_hw
             b = x.shape[0] // (hh * ww)
@@ -371,6 +404,8 @@ class TemporalTransformer(nn.Module):
     use_camera: bool = False
     epipolar: Optional[EpipolarConfig] = None
     add_type: str = "add_to_main_branch"
+    camera_mode: str = "plucker_epipolar"
+    pose_dim: int = 12
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -412,6 +447,8 @@ class TemporalTransformer(nn.Module):
                 use_camera=self.use_camera,
                 epipolar=self.epipolar,
                 add_type=self.add_type,
+                camera_mode=self.camera_mode,
+                pose_dim=self.pose_dim,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(x, mask=mask, camera=cam_level, spatial_hw=(hh, ww), deterministic=deterministic)

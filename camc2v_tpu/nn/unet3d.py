@@ -81,6 +81,8 @@ class UNetConfig:
     use_camera: bool = False  # add zero-init pluker_projection to temporal blocks
     epipolar: Optional[EpipolarConfig] = None
     add_type: str = "add_to_main_branch"
+    camera_mode: str = "plucker_epipolar"  # or "motionctrl" / "cameractrl"
+    pose_dim: int = 12
 
     def heads_for(self, ch: int) -> tuple[int, int]:
         if self.num_head_channels == -1:
@@ -133,6 +135,8 @@ class UNetModel(nn.Module):
                 use_camera=cfg.use_camera and with_camera,
                 epipolar=cfg.epipolar if with_camera else None,
                 add_type=cfg.add_type,
+                camera_mode=cfg.camera_mode,
+                pose_dim=cfg.pose_dim,
                 dtype=self.dtype,
                 name=name,
             )
