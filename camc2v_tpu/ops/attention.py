@@ -22,13 +22,26 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-# Toggled by ops.flash_attention.enable() once the Pallas kernel is selected.
-_USE_PALLAS_FLASH = False
+# Pallas flash kernel is used automatically on TPU for large sequence lengths;
+# override with use_pallas_flash(True/False) to force either path.
+_USE_PALLAS_FLASH: Optional[bool] = None
+_MIN_FLASH_LEN = 512
 
 
-def use_pallas_flash(enabled: bool = True) -> None:
+def use_pallas_flash(enabled: Optional[bool] = True) -> None:
+    """Force (True/False) or restore auto (None) flash-kernel dispatch."""
     global _USE_PALLAS_FLASH
     _USE_PALLAS_FLASH = enabled
+
+
+def _flash_enabled() -> bool:
+    if _USE_PALLAS_FLASH is not None:
+        return _USE_PALLAS_FLASH
+    import jax as _jax
+
+    # TPU backends may be registered under plugin names (e.g. 'axon'); the
+    # Mosaic kernel path applies to any non-CPU backend in this image
+    return _jax.default_backend() != "cpu"
 
 
 def dot_product_attention(
@@ -55,10 +68,20 @@ def dot_product_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
 
-    if _USE_PALLAS_FLASH and bias is None and q.shape[1] > 128:
+    if bias is None and q.shape[1] >= _MIN_FLASH_LEN and _flash_enabled():
         from camc2v_tpu.ops import flash_attention as fa
 
-        return fa.flash_attention(q, k, v, mask=mask, scale=scale)
+        # flash takes a (B, Lq, Lk) mask shared across heads
+        fmask = mask
+        if fmask is not None and fmask.ndim == 4:
+            if fmask.shape[1] == 1:
+                fmask = fmask[:, 0]
+            else:
+                fmask = None  # per-head masks stay on the XLA path
+        if fmask is None and mask is not None:
+            pass  # unsupported mask layout -> XLA
+        elif fa.flash_supported(q, k, fmask):
+            return fa.flash_attention(q, k, v, mask=fmask, scale=scale)
 
     return _xla_attention(q, k, v, bias=bias, mask=mask, scale=scale)
 

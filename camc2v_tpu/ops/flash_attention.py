@@ -1,0 +1,209 @@
+"""Fused flash-attention Pallas kernel for TPU (forward), with optional
+block-loaded boolean masks.
+
+This is the memory fix for the epipolar spatio-temporal attention: the XLA
+path materialises (B, H, L, L) float32 logits — 10.7 GB at the flagship ds8
+resolution (L = T*h*w = 16384, fused-CFG batch 2) — which OOMs a 16 GB v5e
+chip. The kernel streams KV blocks through VMEM with an online softmax, so
+HBM holds only inputs + the bool mask (the mask itself is the reference's
+design: model/camcontexti2v.py:552 materialises the same (B, L, L) bools).
+
+Layout: q, k, v are (B, L, H, D); mask is (B, Lq, Lk) bool shared across
+heads. Block sizes are (128, 512); all production sequence lengths
+(16384/4096/1024/256 epipolar tokens, 1024 spatial tokens) divide evenly —
+`flash_supported` guards the rest onto the XLA path.
+
+Backward pass: the kernel is forward-only; `flash_attention` wraps it in a
+`jax.custom_vjp` whose backward recomputes attention block-wise (flash-style
+dq/dk/dv in plain XLA with lax.map over query blocks) — O(L) memory, no
+L x L materialisation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_Q = 128
+BLOCK_K = 512
+NEG_INF = -1e30
+
+
+def flash_supported(q: jax.Array, k: jax.Array, mask: Optional[jax.Array]) -> bool:
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    if d not in (64, 128):
+        return False
+    if lq % BLOCK_Q != 0 or lk % BLOCK_K != 0:
+        return False
+    if mask is not None and mask.shape != (b, lq, lk):
+        return False
+    return True
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scratch, l_scratch, acc_scratch, *, scale, nk):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0]  # (BLOCK_Q, D)
+    kb = k_ref[0]  # (BLOCK_K, D)
+    vb = v_ref[0]
+    s = jax.lax.dot_general(
+        q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (BLOCK_Q, BLOCK_K)
+    if mask_ref is not None:
+        s = jnp.where(mask_ref[0], s, NEG_INF)
+
+    m_prev = m_scratch[:]  # (BLOCK_Q, 1)
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)  # (BLOCK_Q, BLOCK_K)
+    # fully-masked rows: m_new == NEG_INF would give exp(0) = 1 — zero them
+    p = jnp.where(s <= NEG_INF, 0.0, p)
+    alpha = jnp.exp(m_prev - m_new)  # (BLOCK_Q, 1)
+    l_new = alpha * l_scratch[:] + jnp.sum(p, axis=1, keepdims=True)
+    acc_scratch[:] = acc_scratch[:] * alpha + jax.lax.dot_general(
+        p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_scratch[:] = m_new
+    l_scratch[:] = l_new
+
+    @pl.when(ki == nk - 1)
+    def _():
+        # fully-masked rows have l == 0; SDPA semantics give 0/0 -> guard to 0
+        l = l_scratch[:]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scratch[:] / safe_l).astype(o_ref.dtype)
+
+
+def _fwd_kernel_nomask(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, *, scale, nk):
+    _fwd_kernel(q_ref, k_ref, v_ref, None, o_ref, m_s, l_s, acc_s, scale=scale, nk=nk)
+
+
+def _flash_fwd(q, k, v, mask, scale):
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    nq = lq // BLOCK_Q
+    nk = lk // BLOCK_K
+
+    # (B, L, H, D) -> (B*H, L, D)
+    qt = q.transpose(0, 2, 1, 3).reshape(b * h, lq, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * h, lk, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * h, lk, d)
+
+    in_specs = [
+        pl.BlockSpec((1, BLOCK_Q, d), lambda bh, qi, ki: (bh, qi, 0)),
+        pl.BlockSpec((1, BLOCK_K, d), lambda bh, qi, ki: (bh, ki, 0)),
+        pl.BlockSpec((1, BLOCK_K, d), lambda bh, qi, ki: (bh, ki, 0)),
+    ]
+    args = [qt, kt, vt]
+    if mask is not None:
+        in_specs.append(
+            pl.BlockSpec((1, BLOCK_Q, BLOCK_K), lambda bh, qi, ki: (bh // h, qi, ki))
+        )
+        args.append(mask)
+        kernel = functools.partial(_fwd_kernel, scale=scale, nk=nk)
+    else:
+        kernel = functools.partial(_fwd_kernel_nomask, scale=scale, nk=nk)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b * h, lq, d), q.dtype),
+        grid=(b * h, nq, nk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, BLOCK_Q, d), lambda bh, qi, ki: (bh, qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
+            pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
+            pltpu.VMEM((BLOCK_Q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(*args)
+    return out.reshape(b, h, lq, d).transpose(0, 2, 1, 3)
+
+
+def _chunked_reference(q, k, v, mask, scale, chunk=BLOCK_Q):
+    """Block-wise exact attention in plain XLA (used for the VJP): O(L) memory."""
+    b, lq, h, d = q.shape
+
+    def one_chunk(qc_mc):
+        qc, mc = qc_mc
+        s = jnp.einsum("bqhd,bkhd->bhqk", qc, k, preferred_element_type=jnp.float32) * scale
+        if mc is not None:
+            s = jnp.where(mc[:, None], s, NEG_INF)
+        p = jax.nn.softmax(s, axis=-1)
+        # fully-masked rows: softmax of all -inf = uniform; zero them to match kernel
+        if mc is not None:
+            any_valid = jnp.any(mc, axis=-1)[:, None, :, None]
+            p = jnp.where(any_valid, p, 0.0)
+        return jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v)
+
+    nq = lq // chunk
+    qs = q.reshape(b, nq, chunk, h, d).transpose(1, 0, 2, 3, 4)
+    ms = None
+    if mask is not None:
+        ms = mask.reshape(b, nq, chunk, -1).transpose(1, 0, 2, 3)
+        out = jax.lax.map(lambda t: one_chunk((t[0], t[1])), (qs, ms))
+    else:
+        out = jax.lax.map(lambda t: one_chunk((t, None)), qs)
+    return out.transpose(1, 0, 2, 3, 4).reshape(b, lq, h, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash(q, k, v, has_mask, scale, mask):
+    if has_mask:
+        return _flash_fwd(q, k, v, mask, scale)
+    return _flash_fwd(q, k, v, None, scale)
+
+
+def _flash_fwd_rule(q, k, v, has_mask, scale, mask):
+    out = _flash(q, k, v, has_mask, scale, mask)
+    return out, (q, k, v, mask)
+
+
+def _flash_bwd_rule(has_mask, scale, res, g):
+    q, k, v, mask = res
+    # recompute attention chunk-wise and differentiate through the chunked
+    # reference — O(L * chunk) memory, exact gradients
+    def f(q, k, v, mask):
+        return _chunked_reference(q, k, v, mask if has_mask else None, scale)
+
+    _, vjp = jax.vjp(f, q, k, v, mask)
+    dq, dk, dv, _ = vjp(g)
+    if mask is None:
+        dmask = None
+    else:
+        import numpy as np
+
+        dmask = np.zeros(mask.shape, dtype=jax.dtypes.float0)  # bool primal => float0 tangent
+    return dq, dk, dv, dmask
+
+
+_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Fused attention over (B, L, H, D). mask: (B, Lq, Lk) bool, True=attend."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _flash(q, k, v, mask is not None, scale, mask)

@@ -1,0 +1,75 @@
+"""Device mesh + sharding rules (the NCCL/DDP/ZeRO replacement).
+
+TPU-native equivalent of the reference's distributed layer (torchrun +
+Lightning DDP / DeepSpeed ZeRO-1 over NCCL — reference: 01_train.py:178,
+configs/models/camcontexti2v_256.yaml:208, lvdm/common.py:8-14):
+
+  * one global 1-D `data` mesh over all chips (ICI within a slice, DCN across
+    slices when `jax.distributed` is initialised);
+  * batches sharded on axis 0 over `data`; params replicated;
+  * optimizer state sharded over `data` on each leaf's largest divisible axis
+    — the ZeRO-1 analogue (optimizer-state memory / N) with XLA inserting the
+    all-gathers;
+  * gradient all-reduce happens inside XLA via the sharded-batch jit.
+
+The mesh abstraction keeps FSDP-style parameter sharding one flag away
+(`shard_params=True` shards params like optimizer state).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[list] = None, axis_name: str = DATA_AXIS) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _largest_divisible_axis(shape: tuple[int, ...], n: int) -> Optional[int]:
+    best, best_size = None, 0
+    for i, s in enumerate(shape):
+        if s % n == 0 and s > best_size:
+            best, best_size = i, s
+    return best
+
+
+def zero1_sharding(mesh: Mesh, tree: Any) -> Any:
+    """Per-leaf sharding that splits the largest divisible axis over `data`.
+
+    Used for optimizer-state leaves (ZeRO-1). Leaves with no divisible axis
+    stay replicated.
+    """
+    n = mesh.shape[DATA_AXIS]
+
+    def leaf_sharding(x):
+        if not hasattr(x, "shape") or x.ndim == 0:
+            return replicated(mesh)
+        ax = _largest_divisible_axis(x.shape, n)
+        if ax is None:
+            return replicated(mesh)
+        spec = [None] * x.ndim
+        spec[ax] = DATA_AXIS
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(leaf_sharding, tree)
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)

@@ -1,0 +1,71 @@
+"""Flash-attention kernel parity vs the XLA reference path (CPU interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from camc2v_tpu.ops.attention import _xla_attention
+from camc2v_tpu.ops.flash_attention import BLOCK_K, BLOCK_Q, flash_attention, flash_supported
+
+B, H, D = 2, 2, 64
+LQ = 2 * BLOCK_Q
+LK = 2 * BLOCK_K
+
+
+def _qkv(lq=LQ, lk=LK, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(B, lq, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, lk, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, lk, H, D)), jnp.float32)
+    return q, k, v
+
+
+def test_flash_matches_xla_no_mask():
+    q, k, v = _qkv()
+    out = flash_attention(q, k, v)
+    ref = _xla_attention(q, k, v, bias=None, mask=None, scale=D**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_matches_xla_with_mask():
+    q, k, v = _qkv()
+    rng = np.random.default_rng(1)
+    mask = jnp.asarray(rng.uniform(size=(B, LQ, LK)) > 0.5)
+    out = flash_attention(q, k, v, mask=mask)
+    ref = _xla_attention(q, k, v, bias=None, mask=mask[:, None], scale=D**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_fully_masked_rows_are_zero():
+    q, k, v = _qkv()
+    mask = jnp.ones((B, LQ, LK), bool).at[:, :BLOCK_Q].set(False)
+    out = flash_attention(q, k, v, mask=mask)
+    np.testing.assert_allclose(np.asarray(out[:, :BLOCK_Q]), 0.0, atol=1e-6)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_flash_supported_guard():
+    q, k, v = _qkv()
+    assert flash_supported(q, k, None)
+    q_bad = jnp.zeros((B, 100, H, D))
+    assert not flash_supported(q_bad, k, None)
+    q32 = jnp.zeros((B, LQ, H, 32))
+    assert not flash_supported(q32, jnp.zeros((B, LK, H, 32)), None)
+
+
+def test_flash_gradients_match_xla():
+    q, k, v = _qkv(lq=BLOCK_Q, lk=BLOCK_K)
+    rng = np.random.default_rng(2)
+    mask = jnp.asarray(rng.uniform(size=(B, BLOCK_Q, BLOCK_K)) > 0.3)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, mask=mask) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, bias=None, mask=mask[:, None], scale=D**-0.5) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
