@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Training launcher — reference CLI semantics on the TPU-native stack.
+
+reference: CamContextI2V/01_train.py (arguments :27-116, main :375-501) +
+main/trainer.py. Single-process SPMD replaces torchrun: one `data` mesh over
+all local devices (multi-host via jax.distributed when JAX_COORDINATOR is set).
+
+Usage:
+  python 01_train.py --config configs/models/camcontexti2v_256.yaml \
+      --name my_run --logdir ./results [--continue] [--debug] [--seed 42] \
+      [key.path=value ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def parse_args():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True, help="three-section YAML (model/data/lightning)")
+    ap.add_argument("--name", default=None, help="experiment name (default: config stem)")
+    ap.add_argument("--logdir", default="./results")
+    ap.add_argument("--seed", type=int, default=20240101)
+    ap.add_argument("--train", action="store_true", default=True)
+    ap.add_argument("--continue", dest="resume", action="store_true", help="resume from last checkpoint")
+    ap.add_argument("--debug", action="store_true", help="numeric watcher + profiler, tiny logging intervals")
+    ap.add_argument("--max_steps", type=int, default=None)
+    ap.add_argument("--bpe_path", default=None, help="CLIP BPE merges file")
+    ap.add_argument("--pretrained", default=None, help="reference .pt checkpoint to import")
+    ap.add_argument("overrides", nargs="*", help="dotlist config overrides a.b.c=value")
+    return ap.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import numpy as np
+
+    from camc2v_tpu.config_yaml import apply_dotlist, build_model_from_config, build_train_config, load_yaml
+    from camc2v_tpu.data.realestate10k import DataLoader, RealEstate10K
+    from camc2v_tpu.data.tokenizer import default_tokenizer
+    from camc2v_tpu.main import callbacks as CB
+    from camc2v_tpu.main.harness import Trainer, init_workspace, setup_logger
+    from camc2v_tpu.parallel import mesh as M
+    from camc2v_tpu.parallel import trainer as TR
+
+    cfg = apply_dotlist(load_yaml(args.config), args.overrides)
+    name = args.name or os.path.splitext(os.path.basename(args.config))[0]
+    dirs = init_workspace(name, args.logdir, cfg)
+    log = setup_logger(dirs["workdir"], rank=jax.process_index())
+    np.random.seed(args.seed + jax.process_index())
+
+    model, pretrained = build_model_from_config(cfg)
+    params = model.init_params(jax.random.key(args.seed))
+    log.info(f"model: {type(model).__name__}, params: "
+             f"{sum(x.size for x in jax.tree_util.tree_leaves(params)):,}")
+
+    ckpt_path = args.pretrained or pretrained
+    if ckpt_path and os.path.exists(ckpt_path):
+        from camc2v_tpu.utils.torch_import import import_state_dict, load_torch_checkpoint
+
+        sd = load_torch_checkpoint(ckpt_path)
+        params, report = import_state_dict(sd, params, model.config.unet)
+        log.info(
+            f"imported {len(report['mapped'])} tensors from {ckpt_path} "
+            f"({len(report['unmatched_ckpt'])} unmatched, {len(report['missing_params'])} ours missing)"
+        )
+
+    tokenizer = default_tokenizer(args.bpe_path, model.config.clip_text.context_length)
+    data_cfg = cfg.get("data", {}).get("params", {})
+    bs = data_cfg.get("batch_size", 1)
+    train_ds = RealEstate10K(tokenizer=tokenizer, **data_cfg.get("train", {}).get("params", {}))
+    train_dl = DataLoader(train_ds, batch_size=bs, shuffle=True, seed=args.seed)
+    val_dl = None
+    if "validation" in data_cfg:
+        val_ds = RealEstate10K(tokenizer=tokenizer, **data_cfg["validation"].get("params", {}))
+        val_dl = DataLoader(val_ds, batch_size=bs, shuffle=False)
+
+    mesh = M.make_mesh()
+    n_dev = jax.device_count()
+    tr_cfg = build_train_config(cfg, n_dev)
+    if args.max_steps:
+        tr_cfg = TR.TrainConfig(**{**tr_cfg.__dict__, "max_steps": args.max_steps})
+    state = TR.init_train_state(tr_cfg, params, world_batch_scale=n_dev * bs)
+
+    lightning = cfg.get("lightning", {})
+    cbs = [
+        CB.ProgressPrinter(interval=5 if args.debug else 20, max_steps=tr_cfg.max_steps),
+        CB.MetricsLogger(dirs["loginfo"], interval=1 if args.debug else 50),
+        CB.DeviceMonitor(interval=10 if args.debug else 100),
+    ]
+    if args.debug:
+        cbs += [CB.LiveProfiler(interval=5), CB.ModelWatcher(raise_on_error=False)]
+
+    trainer = Trainer(
+        model,
+        tr_cfg,
+        train_dl,
+        val_dataloader=val_dl,
+        callbacks=cbs,
+        ckpt_dir=dirs["ckptdir"],
+        ckpt_every_n_steps=lightning.get("callbacks", {})
+        .get("metrics_over_trainsteps_checkpoint", {})
+        .get("params", {})
+        .get("every_n_train_steps", 5000),
+        val_every_n_steps=lightning.get("trainer", {}).get("val_check_interval"),
+        tokenizer=tokenizer,
+        mesh=mesh,
+        seed=args.seed,
+    )
+    trainer.fit(state, resume=args.resume)
+    log.info("training finished")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Evaluation-set video generation — reference CLI semantics.
+
+reference: CamContextI2V/02_generate_videos.py (args :32-112, config rewrite
+:197-355, main :461-621): runs the model over the test split and writes one
+directory per video ({generated.mp4, ground_truth.mp4, camera_data.npy,
+captions.txt, context_j.png}) consumed by 03_evaluation.py. `--continue`
+resumes by skipping already-generated sample dirs.
+
+Usage:
+  python 02_generate_videos.py --config <yaml> --ckpt <dir-or-.pt> \
+      --out results/generation [--cfg-scale 7.5] [--camera-cfg 1.0] \
+      [--sampling-strategy random_back] [--num-videos N] [--continue]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def parse_args():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--ckpt", default=None, help="orbax checkpoint dir or reference .pt")
+    ap.add_argument("--out", default="results/generation")
+    ap.add_argument("--cfg-scale", type=float, default=7.5)
+    ap.add_argument("--camera-cfg", type=float, default=1.0)
+    ap.add_argument("--camera-cfg-scheduler", default="constant")
+    ap.add_argument("--guidance-rescale", type=float, default=0.7)
+    ap.add_argument("--ddim-steps", type=int, default=25)
+    ap.add_argument("--timestep-spacing", default="uniform_trailing")
+    ap.add_argument("--ddim-eta", type=float, default=1.0)
+    ap.add_argument("--sampling-strategy", default=None, help="context strategy override (e.g. random_back)")
+    ap.add_argument("--num-videos", type=int, default=None)
+    ap.add_argument("--continue", dest="resume", action="store_true")
+    ap.add_argument("--seed", type=int, default=20240101)
+    ap.add_argument("--bpe_path", default=None)
+    ap.add_argument("overrides", nargs="*")
+    return ap.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    from camc2v_tpu.config_yaml import apply_dotlist, build_model_from_config, load_yaml
+    from camc2v_tpu.data.realestate10k import DataLoader, RealEstate10K
+    from camc2v_tpu.data.tokenizer import default_tokenizer
+    from camc2v_tpu.main.harness import generate_videos, setup_logger
+
+    cfg = apply_dotlist(load_yaml(args.config), args.overrides)
+    log = setup_logger(None)
+    model, pretrained = build_model_from_config(cfg)
+    params = model.init_params(jax.random.key(args.seed))
+
+    ckpt = args.ckpt or pretrained
+    if ckpt and os.path.exists(ckpt):
+        if os.path.isdir(ckpt):
+            from camc2v_tpu.utils.checkpoint import restore_checkpoint
+
+            restored = restore_checkpoint(ckpt, {"params": params})
+            params = restored["params"] if "params" in restored else restored
+        else:
+            from camc2v_tpu.utils.torch_import import import_state_dict, load_torch_checkpoint
+
+            sd = load_torch_checkpoint(ckpt)
+            params, report = import_state_dict(sd, params, model.config.unet)
+            log.info(f"imported {len(report['mapped'])} tensors from {ckpt}")
+
+    tokenizer = default_tokenizer(args.bpe_path, model.config.clip_text.context_length)
+    data_cfg = cfg.get("data", {}).get("params", {})
+    split = data_cfg.get("test", data_cfg.get("validation", {}))
+    ds_params = dict(split.get("params", {}))
+    if args.sampling_strategy:
+        ds_params["additional_cond_frames"] = args.sampling_strategy
+    ds = RealEstate10K(tokenizer=tokenizer, **ds_params)
+    dl = DataLoader(ds, batch_size=data_cfg.get("batch_size", 1), shuffle=False, drop_last=False)
+
+    sample_kwargs = dict(
+        ddim_steps=args.ddim_steps,
+        ddim_eta=args.ddim_eta,
+        guidance_scale=args.cfg_scale,
+        guidance_rescale=args.guidance_rescale,
+        timestep_spacing=args.timestep_spacing,
+        camera_cfg=args.camera_cfg,
+        camera_cfg_scheduler=args.camera_cfg_scheduler,
+    )
+    written = generate_videos(
+        model,
+        params,
+        dl,
+        args.out,
+        tokenizer=tokenizer,
+        sample_kwargs=sample_kwargs,
+        max_batches=args.num_videos,
+        skip_existing=args.resume,
+        seed=args.seed,
+    )
+    log.info(f"wrote {len(written)} videos to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -39,11 +39,30 @@ def flash_supported(q: jax.Array, k: jax.Array, mask: Optional[jax.Array]) -> bo
     lk = k.shape[1]
     if d not in (64, 128):
         return False
-    if lq % BLOCK_Q != 0 or lk % BLOCK_K != 0:
+    if lq % BLOCK_Q != 0:
+        return False
+    # the key axis is padded to a BLOCK_K multiple internally (register tokens
+    # make Lk = L + num_registers); only reject pathological amounts of padding
+    if lk < BLOCK_K // 2:
         return False
     if mask is not None and mask.shape != (b, lq, lk):
         return False
     return True
+
+
+def _pad_keys(k, v, mask, lq):
+    """Pad the key axis to a BLOCK_K multiple with masked-out positions."""
+    lk = k.shape[1]
+    pad = (-lk) % BLOCK_K
+    if pad == 0:
+        return k, v, mask
+    k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    if mask is None:
+        b = k.shape[0]
+        mask = jnp.ones((b, lq, lk), bool)
+    mask = jnp.pad(mask, ((0, 0), (0, 0), (0, pad)), constant_values=False)
+    return k, v, mask
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scratch, l_scratch, acc_scratch, *, scale, nk):
@@ -164,9 +183,8 @@ def _chunked_reference(q, k, v, mask, scale, chunk=BLOCK_Q):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _flash(q, k, v, has_mask, scale, mask):
-    if has_mask:
-        return _flash_fwd(q, k, v, mask, scale)
-    return _flash_fwd(q, k, v, None, scale)
+    k, v, mask = _pad_keys(k, v, mask if has_mask else None, q.shape[1])
+    return _flash_fwd(q, k, v, mask, scale)
 
 
 def _flash_fwd_rule(q, k, v, has_mask, scale, mask):
