@@ -289,6 +289,11 @@ def build_train_config(cfg: dict, num_devices: int = 1) -> TrainConfig:
         patterns.append(r"/epipolar/")
     if p.get("cond_stage_trainable", False):
         patterns.append(r"^clip_text/")
+    target = mnode.get("target", "")
+    if "motionctrl" in target.lower() or "cameractrl" in target.lower():
+        # the injected cc_projection adapters are always trainable in the
+        # reference (baseline/motionctrl/motionctrl.py:49, cameractrl.py:49)
+        patterns.append(r"cc_projection")
     for name in p.get("diffusion_model_trainable_param_list", []) or []:
         if name == "TemporalTransformer.attn1":
             patterns.append(r"temporal/block_\d+/attn1/")
