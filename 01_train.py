@@ -95,12 +95,56 @@ def main():
     if args.debug:
         cbs += [CB.LiveProfiler(interval=5), CB.ModelWatcher(raise_on_error=False)]
 
+    # periodic sample logging (reference ImageLogger, every 2500 opt steps)
+    batch_logger_cfg = lightning.get("callbacks", {}).get("batch_logger", {}).get("params", {})
+    if val_dl is not None and batch_logger_cfg:
+        from camc2v_tpu.main.harness import make_sample_logger
+
+        li_kwargs = batch_logger_cfg.get("log_images_kwargs", {})
+        state_box = {"state": None}
+        sample_fn = make_sample_logger(
+            model,
+            lambda: state_box["state"].params if state_box["state"] is not None else params,
+            val_dl,
+            os.path.join(dirs["workdir"], "images"),
+            tokenizer=tokenizer,
+            sample_kwargs=dict(
+                ddim_steps=li_kwargs.get("ddim_steps", 25),
+                ddim_eta=li_kwargs.get("ddim_eta", 1.0),
+                guidance_scale=li_kwargs.get("unconditional_guidance_scale", 7.5),
+                timestep_spacing=li_kwargs.get("timestep_spacing", "uniform"),
+                guidance_rescale=li_kwargs.get("guidance_rescale", 0.0),
+                enable_camera_condition=li_kwargs.get("enable_camera_condition", True),
+            ),
+            num_batches=batch_logger_cfg.get("num_batches", 1),
+        )
+
+        class _StateTap(CB.Callback):
+            def on_train_batch_end(self, step, state, metrics):
+                state_box["state"] = state
+
+        cbs.append(_StateTap())
+        cbs.append(
+            CB.ImageLogger(
+                every_n_steps=batch_logger_cfg.get("train_batch_frequency", 2500),
+                sample_fn=sample_fn,
+                log_first_iteration=batch_logger_cfg.get("log_first_iteration", False),
+            )
+        )
+
+    # epipolar-mask freeze schedule (reference: camcontexti2v.py:771-776)
+    flag_schedule = None
+    freeze_steps = getattr(model.config, "epipolar_mask_freeze_steps", None)
+    if freeze_steps:
+        flag_schedule = [(0, {"adaptor_use_mask": False}), (freeze_steps, {"adaptor_use_mask": True})]
+
     trainer = Trainer(
         model,
         tr_cfg,
         train_dl,
         val_dataloader=val_dl,
         callbacks=cbs,
+        flag_schedule=flag_schedule,
         ckpt_dir=dirs["ckptdir"],
         ckpt_every_n_steps=lightning.get("callbacks", {})
         .get("metrics_over_trainsteps_checkpoint", {})

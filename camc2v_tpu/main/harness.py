@@ -96,7 +96,12 @@ class Trainer:
         tokenizer=None,
         mesh=None,
         seed: int = 0,
+        flag_schedule: Optional[list] = None,
     ):
+        """flag_schedule: [(from_step, {loss_kwargs})] phases — the FreezeCallback
+        analogue (reference: main/callbacks.py:740-776 + the epipolar-mask
+        unlock, model/camcontexti2v.py:771-776). Each phase rebuilds the jitted
+        step once with its static flags."""
         self.model = model
         self.train_config = train_config
         self.dataloader = dataloader
@@ -108,8 +113,16 @@ class Trainer:
         self.tokenizer = tokenizer
         self.mesh = mesh
         self.seed = seed
+        self.flag_schedule = sorted(flag_schedule or [], key=lambda x: x[0])
         self._stop = False
         self._emergency_save = False
+
+    def _flags_for(self, step: int) -> dict:
+        flags: dict = {}
+        for from_step, kw in self.flag_schedule:
+            if step >= from_step:
+                flags = kw
+        return flags
 
     def _install_signal_handlers(self):
         """SIGUSR1/SIGTERM -> checkpoint then continue/stop (reference melk,
@@ -143,15 +156,25 @@ class Trainer:
 
         if self.mesh is not None:
             state = TR.shard_train_state(self.mesh, state)
-        step_fn = TR.make_sharded_train_step(self.model, self.train_config, self.mesh)
         rng = jax.random.key(self.seed)
 
         step = int(state.step)
+        current_flags = self._flags_for(step)
+        step_fn = TR.make_sharded_train_step(
+            self.model, self.train_config, self.mesh, loss_kwargs=current_flags
+        )
         metrics = {}
         while step < max_steps and not self._stop:
             for batch in self.dataloader:
                 if step >= max_steps or self._stop:
                     break
+                flags = self._flags_for(step)
+                if flags != current_flags:
+                    logger.info(f"[phase] step {step}: flags -> {flags} (retracing step fn)")
+                    current_flags = flags
+                    step_fn = TR.make_sharded_train_step(
+                        self.model, self.train_config, self.mesh, loss_kwargs=current_flags
+                    )
                 for cb in self.callbacks:
                     cb.on_train_batch_start(step)
                 device_batch = batch_to_device(batch, self.tokenizer)
@@ -187,6 +210,44 @@ class Trainer:
         if losses:
             logger.info(f"[val] loss={np.mean(losses):.4f} over {len(losses)} batches")
         return float(np.mean(losses)) if losses else None
+
+
+def make_sample_logger(
+    model,
+    get_params,
+    dataloader,
+    out_dir: str,
+    *,
+    tokenizer=None,
+    sample_kwargs: Optional[dict] = None,
+    num_batches: int = 1,
+):
+    """Build the ImageLogger sample_fn: periodic train-time sample grids.
+
+    reference: main/callbacks.py:163-236 (train/val media logging every N
+    optimisation steps). `get_params` is a thunk returning current (or EMA)
+    params so the closure tracks training state.
+    """
+    import jax
+
+    from camc2v_tpu.utils.save_video import save_grid
+
+    sample_kwargs = dict(sample_kwargs or {})
+    os.makedirs(out_dir, exist_ok=True)
+
+    def sample_fn(step: int):
+        it = iter(dataloader)
+        for i in range(num_batches):
+            try:
+                batch = next(it)
+            except StopIteration:
+                return
+            device_batch = batch_to_device(batch, tokenizer)
+            videos = model.sample(get_params(), device_batch, jax.random.key(step + i), **sample_kwargs)
+            save_grid(os.path.join(out_dir, f"step{step:07d}_b{i}.mp4"), np.asarray(videos))
+            logger.info(f"[media] logged samples at step {step}")
+
+    return sample_fn
 
 
 def generate_videos(

@@ -353,10 +353,17 @@ class DynamiCrafter:
         loss = loss_simple.mean()
         return loss, {"loss_simple": loss_simple.mean(), "loss": loss}
 
-    def training_loss(self, params: dict, batch: dict, rng: jax.Array) -> tuple[jax.Array, dict]:
-        """Full train-step loss. reference: shared_step, camcontexti2v.py:779-793."""
+    def training_loss(
+        self, params: dict, batch: dict, rng: jax.Array, **prepare_kwargs
+    ) -> tuple[jax.Array, dict]:
+        """Full train-step loss. reference: shared_step, camcontexti2v.py:779-793.
+
+        `prepare_kwargs` carries static per-phase flags (e.g. CamContextI2V's
+        `adaptor_use_mask` freeze schedule — reference camcontexti2v.py:771-776);
+        flipping one triggers a single retrace.
+        """
         bkey, tkey, lkey = jax.random.split(rng, 3)
-        z, cond = self.prepare_batch(params, batch, bkey, random_uncond=True)
+        z, cond = self.prepare_batch(params, batch, bkey, random_uncond=True, **prepare_kwargs)
         fs = self.get_fs(batch)
         b = z.shape[0]
         t = jax.random.randint(tkey, (b,), 0, self.config.timesteps)

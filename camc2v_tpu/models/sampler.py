@@ -41,6 +41,11 @@ class SamplerOptions:
     parameterization: str = "eps"
     paste_cond_frame: bool = False
     num_overlap: int = 0  # paste_overlap_frames when > 0
+    # scene-constrained noise shaping (reference: samplers/ddim.py:190-199):
+    # while step >= noise_shaping_min_t, re-noise scene_mask regions from the
+    # clean scene latents each iteration
+    noise_shaping: bool = False
+    noise_shaping_min_t: int = 600
 
 
 def ddim_sample(
@@ -53,6 +58,8 @@ def ddim_sample(
     schedule: Optional[DiffusionSchedule] = None,
     origin_z0: Optional[jax.Array] = None,
     cond_frame_index: Optional[jax.Array] = None,
+    scene_frames: Optional[jax.Array] = None,
+    scene_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Run the full DDIM trajectory from x_T.
 
@@ -75,9 +82,14 @@ def ddim_sample(
     tdim = x_T.shape[1]
 
     if opt.num_overlap > 0 or opt.paste_cond_frame:
-        assert origin_z0 is not None
-    if opt.num_overlap > 0 or opt.parameterization == "v":
-        assert schedule is not None
+        assert origin_z0 is not None, "latent surgery needs origin_z0"
+    if opt.num_overlap > 0 or opt.parameterization == "v" or opt.noise_shaping:
+        assert schedule is not None, "this sampler configuration needs the full DiffusionSchedule"
+    if opt.noise_shaping:
+        assert scene_mask is not None, "noise_shaping needs scene_mask"
+        assert scene_frames is not None or origin_z0 is not None, (
+            "noise_shaping needs scene_frames or origin_z0"
+        )
 
     overlap_sel = (jnp.arange(tdim) < opt.num_overlap)[None, :, None, None, None]
     cond_sel = None
@@ -95,6 +107,13 @@ def ddim_sample(
             # re-noise the overlap frames from the clean latents each step
             noised = q_sample(schedule, origin_z0, t, jax.random.normal(okey, x.shape, x.dtype))
             x = jnp.where(overlap_sel, noised, x)
+
+        if opt.noise_shaping:
+            src = scene_frames if scene_frames is not None else origin_z0
+            noised = q_sample(schedule, src, t, jax.random.normal(okey, x.shape, x.dtype))
+            active = (step >= opt.noise_shaping_min_t).astype(x.dtype)
+            m = scene_mask * active
+            x = noised * m + (1.0 - m) * x
 
         model_output = model_out_fn(x, t)
 
@@ -124,6 +143,42 @@ def ddim_sample(
         x = jnp.where(overlap_sel, origin_z0, x)
     if opt.paste_cond_frame:
         x = jnp.where(cond_sel, origin_z0, x)
+    return x
+
+
+def ddim_decode(
+    rng: jax.Array,
+    ddim: DDIMSchedule,
+    x_latent: jax.Array,
+    model_out_fn: ModelOutFn,
+    t_start: int,
+    *,
+    options: SamplerOptions = SamplerOptions(),
+    schedule: Optional[DiffusionSchedule] = None,
+) -> jax.Array:
+    """Denoise from DDIM step t_start (img2img). reference: ddim.py:348-368."""
+    opt = options
+    b = x_latent.shape[0]
+
+    def body(carry, idx):
+        x, key = carry
+        key, nkey = jax.random.split(key)
+        i = t_start - 1 - idx
+        t = jnp.full((b,), ddim.timesteps[i], dtype=jnp.int32)
+        model_output = model_out_fn(x, t)
+        if opt.parameterization == "v":
+            e_t = predict_eps_from_z_and_v(schedule, x, t, model_output)
+            pred_x0 = predict_start_from_z_and_v(schedule, x, t, model_output)
+        else:
+            e_t = model_output
+            pred_x0 = (x - ddim.sqrt_one_minus_alphas[i] * e_t) / jnp.sqrt(ddim.alphas[i])
+        a_prev = ddim.alphas_prev[i]
+        sigma_t = ddim.sigmas[i]
+        dir_xt = jnp.sqrt(jnp.clip(1.0 - a_prev - sigma_t**2, 0.0, None)) * e_t
+        noise = sigma_t * jax.random.normal(nkey, x.shape, x.dtype) * opt.temperature
+        return (jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise, key), None
+
+    (x, _), _ = jax.lax.scan(body, (x_latent, rng), jnp.arange(t_start))
     return x
 
 

@@ -8,10 +8,10 @@ chip. The kernel streams KV blocks through VMEM with an online softmax, so
 HBM holds only inputs + the bool mask (the mask itself is the reference's
 design: model/camcontexti2v.py:552 materialises the same (B, L, L) bools).
 
-Layout: q, k, v are (B, L, H, D); mask is (B, Lq, Lk) bool shared across
-heads. Block sizes are (128, 512); all production sequence lengths
-(16384/4096/1024/256 epipolar tokens, 1024 spatial tokens) divide evenly —
-`flash_supported` guards the rest onto the XLA path.
+Kernel layout: the grid is (B, q_blocks, k_blocks) and EVERY head is processed
+inside one grid step (unrolled loop). This loads each boolean mask block once
+per (q, k) tile instead of once per head — the mask is the dominant HBM
+stream at ds8 (536 MB/layer) and head counts reach 20 at ds4.
 
 Backward pass: the kernel is forward-only; `flash_attention` wraps it in a
 `jax.custom_vjp` whose backward recomputes attention block-wise (flash-style
@@ -29,15 +29,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_Q = 128
+BLOCK_Q = 256
 BLOCK_K = 512
 NEG_INF = -1e30
+MAX_HEADS_FUSED = 32  # VMEM budget guard for the per-step head loop
 
 
 def flash_supported(q: jax.Array, k: jax.Array, mask: Optional[jax.Array]) -> bool:
     b, lq, h, d = q.shape
     lk = k.shape[1]
     if d not in (64, 128):
+        return False
+    if h > MAX_HEADS_FUSED:
         return False
     if lq % BLOCK_Q != 0:
         return False
@@ -65,7 +68,21 @@ def _pad_keys(k, v, mask, lq):
     return k, v, mask
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scratch, l_scratch, acc_scratch, *, scale, nk):
+def _head_group(h: int) -> int:
+    """Largest divisor of h that is <= 8 (VMEM budget per grid step)."""
+    for g in range(min(h, 8), 0, -1):
+        if h % g == 0:
+            return g
+    return 1
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scratch, l_scratch, acc_scratch, *, nk):
+    """q_ref: (1, Hb, BQ, D); k/v_ref: (1, Hb, BK, D); mask_ref: (1, BQ, BK) or None;
+    o_ref: (1, Hb, BQ, D); scratch: (Hb, BQ, 1) x2 / (Hb, BQ, D).
+
+    All head-group ops are BATCHED dot_generals / vector ops over the Hb axis
+    (no python unrolling — keeps Mosaic's scheduler free to pipeline and the
+    VMEM stack bounded)."""
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -74,39 +91,39 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scratch, l_scratch, acc_
         l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
-    q = q_ref[0]  # (BLOCK_Q, D)
-    kb = k_ref[0]  # (BLOCK_K, D)
+    q = q_ref[0]  # (Hb, BQ, D) — scale pre-folded
+    kb = k_ref[0]  # (Hb, BK, D)
     vb = v_ref[0]
+    # batched QK^T over the head axis: (Hb, BQ, BK) f32
     s = jax.lax.dot_general(
-        q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (BLOCK_Q, BLOCK_K)
+        q, kb, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
     if mask_ref is not None:
-        s = jnp.where(mask_ref[0], s, NEG_INF)
+        s = jnp.where(mask_ref[0][None], s, NEG_INF)  # mask loaded ONCE per tile
 
-    m_prev = m_scratch[:]  # (BLOCK_Q, 1)
-    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_prev = m_scratch[:]  # (Hb, BQ, 1)
+    m_cur = jnp.max(s, axis=2, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)  # (BLOCK_Q, BLOCK_K)
-    # fully-masked rows: m_new == NEG_INF would give exp(0) = 1 — zero them
-    p = jnp.where(s <= NEG_INF, 0.0, p)
-    alpha = jnp.exp(m_prev - m_new)  # (BLOCK_Q, 1)
-    l_new = alpha * l_scratch[:] + jnp.sum(p, axis=1, keepdims=True)
+    p = jnp.exp(s - m_new)
+    if mask_ref is not None:
+        # fully-masked rows: m_new == NEG_INF would give exp(0) = 1 — zero them
+        p = jnp.where(s <= NEG_INF, 0.0, p)
+    alpha = jnp.exp(m_prev - m_new)
+    l_scratch[:] = alpha * l_scratch[:] + jnp.sum(p, axis=2, keepdims=True)
     acc_scratch[:] = acc_scratch[:] * alpha + jax.lax.dot_general(
-        p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(vb.dtype), vb, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
     m_scratch[:] = m_new
-    l_scratch[:] = l_new
 
     @pl.when(ki == nk - 1)
     def _():
-        # fully-masked rows have l == 0; SDPA semantics give 0/0 -> guard to 0
         l = l_scratch[:]
         safe_l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_scratch[:] / safe_l).astype(o_ref.dtype)
 
 
-def _fwd_kernel_nomask(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, *, scale, nk):
-    _fwd_kernel(q_ref, k_ref, v_ref, None, o_ref, m_s, l_s, acc_s, scale=scale, nk=nk)
+def _fwd_kernel_nomask(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, *, nk):
+    _fwd_kernel(q_ref, k_ref, v_ref, None, o_ref, m_s, l_s, acc_s, nk=nk)
 
 
 def _flash_fwd(q, k, v, mask, scale):
@@ -114,37 +131,39 @@ def _flash_fwd(q, k, v, mask, scale):
     lk = k.shape[1]
     nq = lq // BLOCK_Q
     nk = lk // BLOCK_K
+    hb = _head_group(h)
+    g = h // hb  # head groups per batch element
 
-    # (B, L, H, D) -> (B*H, L, D)
-    qt = q.transpose(0, 2, 1, 3).reshape(b * h, lq, d)
-    kt = k.transpose(0, 2, 1, 3).reshape(b * h, lk, d)
-    vt = v.transpose(0, 2, 1, 3).reshape(b * h, lk, d)
+    # fold the scale into q; (B, L, H, D) -> (B*G, Hb, L, D)
+    qt = (q * jnp.asarray(scale, q.dtype)).transpose(0, 2, 1, 3).reshape(b * g, hb, lq, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * g, hb, lk, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * g, hb, lk, d)
 
     in_specs = [
-        pl.BlockSpec((1, BLOCK_Q, d), lambda bh, qi, ki: (bh, qi, 0)),
-        pl.BlockSpec((1, BLOCK_K, d), lambda bh, qi, ki: (bh, ki, 0)),
-        pl.BlockSpec((1, BLOCK_K, d), lambda bh, qi, ki: (bh, ki, 0)),
+        pl.BlockSpec((1, hb, BLOCK_Q, d), lambda bg, qi, ki: (bg, 0, qi, 0)),
+        pl.BlockSpec((1, hb, BLOCK_K, d), lambda bg, qi, ki: (bg, 0, ki, 0)),
+        pl.BlockSpec((1, hb, BLOCK_K, d), lambda bg, qi, ki: (bg, 0, ki, 0)),
     ]
     args = [qt, kt, vt]
     if mask is not None:
         in_specs.append(
-            pl.BlockSpec((1, BLOCK_Q, BLOCK_K), lambda bh, qi, ki: (bh // h, qi, ki))
+            pl.BlockSpec((1, BLOCK_Q, BLOCK_K), lambda bg, qi, ki: (bg // g, qi, ki))
         )
         args.append(mask)
-        kernel = functools.partial(_fwd_kernel, scale=scale, nk=nk)
+        kernel = functools.partial(_fwd_kernel, nk=nk)
     else:
-        kernel = functools.partial(_fwd_kernel_nomask, scale=scale, nk=nk)
+        kernel = functools.partial(_fwd_kernel_nomask, nk=nk)
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b * h, lq, d), q.dtype),
-        grid=(b * h, nq, nk),
+        out_shape=jax.ShapeDtypeStruct((b * g, hb, lq, d), q.dtype),
+        grid=(b * g, nq, nk),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, BLOCK_Q, d), lambda bh, qi, ki: (bh, qi, 0)),
+        out_specs=pl.BlockSpec((1, hb, BLOCK_Q, d), lambda bg, qi, ki: (bg, 0, qi, 0)),
         scratch_shapes=[
-            pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
-            pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
-            pltpu.VMEM((BLOCK_Q, d), jnp.float32),
+            pltpu.VMEM((hb, BLOCK_Q, 1), jnp.float32),
+            pltpu.VMEM((hb, BLOCK_Q, 1), jnp.float32),
+            pltpu.VMEM((hb, BLOCK_Q, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -172,7 +191,6 @@ def _chunked_reference(q, k, v, mask, scale, chunk=BLOCK_Q):
 
     nq = lq // chunk
     qs = q.reshape(b, nq, chunk, h, d).transpose(1, 0, 2, 3, 4)
-    ms = None
     if mask is not None:
         ms = mask.reshape(b, nq, chunk, -1).transpose(1, 0, 2, 3)
         out = jax.lax.map(lambda t: one_chunk((t[0], t[1])), (qs, ms))
@@ -194,6 +212,7 @@ def _flash_fwd_rule(q, k, v, has_mask, scale, mask):
 
 def _flash_bwd_rule(has_mask, scale, res, g):
     q, k, v, mask = res
+
     # recompute attention chunk-wise and differentiate through the chunked
     # reference — O(L * chunk) memory, exact gradients
     def f(q, k, v, mask):

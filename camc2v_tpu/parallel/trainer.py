@@ -118,15 +118,21 @@ def init_train_state(cfg: TrainConfig, params: Any, world_batch_scale: float = 1
     )
 
 
-def make_train_step(model, cfg: TrainConfig, world_batch_scale: float = 1.0) -> Callable:
-    """Build the (unjitted) train step: (state, batch, rng) -> (state, metrics)."""
-    tx = None  # built lazily against the param structure on first call
+def make_train_step(
+    model, cfg: TrainConfig, world_batch_scale: float = 1.0, loss_kwargs: Optional[dict] = None
+) -> Callable:
+    """Build the (unjitted) train step: (state, batch, rng) -> (state, metrics).
+
+    `loss_kwargs` are static flags forwarded to model.training_loss (phase
+    schedules rebuild the step with different flags — one retrace per flip).
+    """
+    loss_kwargs = loss_kwargs or {}
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
-            return model.training_loss(params, batch, step_rng)
+            return model.training_loss(params, batch, step_rng, **loss_kwargs)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         local_tx = make_optimizer(cfg, state.params, world_batch_scale)
@@ -157,10 +163,12 @@ def shard_train_state(mesh: Mesh, state: TrainState) -> TrainState:
     return TrainState(params=params, opt_state=opt_state, ema_params=ema, step=jax.device_put(state.step, rep))
 
 
-def make_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, world_batch_scale: float = 1.0):
+def make_sharded_train_step(
+    model, cfg: TrainConfig, mesh: Mesh, world_batch_scale: float = 1.0, loss_kwargs: Optional[dict] = None
+):
     """jit the train step with explicit in/out shardings over the mesh.
 
     The batch arrives sharded on `data`; XLA inserts the gradient psum over ICI.
     """
-    step = make_train_step(model, cfg, world_batch_scale)
+    step = make_train_step(model, cfg, world_batch_scale, loss_kwargs)
     return jax.jit(step, donate_argnums=(0,))
