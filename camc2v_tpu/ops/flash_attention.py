@@ -76,21 +76,20 @@ def _head_group(h: int) -> int:
     return 1
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scratch, l_scratch, acc_scratch, *, nk):
+# running-max floor: masked logits sit at NEG_INF; flooring m_new here makes
+# exp(NEG_INF - m_new) underflow to exactly 0, removing the explicit p-zeroing
+# pass over the full tile. Fully-masked rows then have l == 0 (guarded at the
+# end). Real logits are |s| << M_FLOOR so numerics are untouched.
+M_FLOOR = -1e20
+
+
+def _fwd_body(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scratch, l_scratch, acc_scratch, *, nk):
     """q_ref: (1, Hb, BQ, D); k/v_ref: (1, Hb, BK, D); mask_ref: (1, BQ, BK) or None;
     o_ref: (1, Hb, BQ, D); scratch: (Hb, BQ, 1) x2 / (Hb, BQ, D).
 
     All head-group ops are BATCHED dot_generals / vector ops over the Hb axis
     (no python unrolling — keeps Mosaic's scheduler free to pipeline and the
     VMEM stack bounded)."""
-    ki = pl.program_id(2)
-
-    @pl.when(ki == 0)
-    def _():
-        m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
-        l_scratch[:] = jnp.zeros_like(l_scratch)
-        acc_scratch[:] = jnp.zeros_like(acc_scratch)
-
     q = q_ref[0]  # (Hb, BQ, D) — scale pre-folded
     kb = k_ref[0]  # (Hb, BK, D)
     vb = v_ref[0]
@@ -103,11 +102,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scratch, l_scratch, acc_
 
     m_prev = m_scratch[:]  # (Hb, BQ, 1)
     m_cur = jnp.max(s, axis=2, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)
-    if mask_ref is not None:
-        # fully-masked rows: m_new == NEG_INF would give exp(0) = 1 — zero them
-        p = jnp.where(s <= NEG_INF, 0.0, p)
+    m_new = jnp.maximum(jnp.maximum(m_prev, m_cur), M_FLOOR)
+    p = jnp.exp(s - m_new)  # masked entries underflow to 0 via the floor
     alpha = jnp.exp(m_prev - m_new)
     l_scratch[:] = alpha * l_scratch[:] + jnp.sum(p, axis=2, keepdims=True)
     acc_scratch[:] = acc_scratch[:] * alpha + jax.lax.dot_general(
@@ -115,15 +111,55 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scratch, l_scratch, acc_
     )
     m_scratch[:] = m_new
 
+
+def _finalize(o_ref, m_scratch, l_scratch, acc_scratch):
+    l = l_scratch[:]
+    safe_l = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0] = (acc_scratch[:] / safe_l).astype(o_ref.dtype)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scratch, l_scratch, acc_scratch, *, nk):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        m_scratch[:] = jnp.full_like(m_scratch, M_FLOOR)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    _fwd_body(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scratch, l_scratch, acc_scratch, nk=nk)
+
     @pl.when(ki == nk - 1)
     def _():
-        l = l_scratch[:]
-        safe_l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_scratch[:] / safe_l).astype(o_ref.dtype)
+        _finalize(o_ref, m_scratch, l_scratch, acc_scratch)
 
 
 def _fwd_kernel_nomask(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, *, nk):
     _fwd_kernel(q_ref, k_ref, v_ref, None, o_ref, m_s, l_s, acc_s, nk=nk)
+
+
+def _fwd_kernel_sparse(tile_any_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, m_scratch, l_scratch, acc_scratch, *, nk, g):
+    """Block-sparse variant: `tile_any_ref` is a scalar-prefetched (B, nQ, nK)
+    int32 bitmap of non-empty mask tiles; empty tiles skip ALL compute (the
+    kernel is VPU-softmax bound, so skipping compute is the win even though
+    the pipelined DMAs still run)."""
+    bg = pl.program_id(0)
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        m_scratch[:] = jnp.full_like(m_scratch, M_FLOOR)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    @pl.when(tile_any_ref[bg // g, qi, ki] != 0)
+    def _():
+        _fwd_body(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scratch, l_scratch, acc_scratch, nk=nk)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        _finalize(o_ref, m_scratch, l_scratch, acc_scratch)
 
 
 def _flash_fwd(q, k, v, mask, scale):
@@ -139,37 +175,52 @@ def _flash_fwd(q, k, v, mask, scale):
     kt = k.transpose(0, 2, 1, 3).reshape(b * g, hb, lk, d)
     vt = v.transpose(0, 2, 1, 3).reshape(b * g, hb, lk, d)
 
-    in_specs = [
-        pl.BlockSpec((1, hb, BLOCK_Q, d), lambda bg, qi, ki: (bg, 0, qi, 0)),
-        pl.BlockSpec((1, hb, BLOCK_K, d), lambda bg, qi, ki: (bg, 0, ki, 0)),
-        pl.BlockSpec((1, hb, BLOCK_K, d), lambda bg, qi, ki: (bg, 0, ki, 0)),
+    # index maps take *_ because PrefetchScalarGridSpec appends the scalar ref
+    q_spec = pl.BlockSpec((1, hb, BLOCK_Q, d), lambda bg, qi, ki, *_: (bg, 0, qi, 0))
+    k_spec = pl.BlockSpec((1, hb, BLOCK_K, d), lambda bg, qi, ki, *_: (bg, 0, ki, 0))
+    o_spec = pl.BlockSpec((1, hb, BLOCK_Q, d), lambda bg, qi, ki, *_: (bg, 0, qi, 0))
+    scratch = [
+        pltpu.VMEM((hb, BLOCK_Q, 1), jnp.float32),
+        pltpu.VMEM((hb, BLOCK_Q, 1), jnp.float32),
+        pltpu.VMEM((hb, BLOCK_Q, d), jnp.float32),
     ]
-    args = [qt, kt, vt]
-    if mask is not None:
-        in_specs.append(
-            pl.BlockSpec((1, BLOCK_Q, BLOCK_K), lambda bg, qi, ki: (bg // g, qi, ki))
-        )
-        args.append(mask)
-        kernel = functools.partial(_fwd_kernel, nk=nk)
-    else:
-        kernel = functools.partial(_fwd_kernel_nomask, nk=nk)
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+    )
+    interpret = jax.default_backend() == "cpu"
+    out_shape = jax.ShapeDtypeStruct((b * g, hb, lq, d), q.dtype)
 
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((b * g, hb, lq, d), q.dtype),
-        grid=(b * g, nq, nk),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, hb, BLOCK_Q, d), lambda bg, qi, ki: (bg, 0, qi, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((hb, BLOCK_Q, 1), jnp.float32),
-            pltpu.VMEM((hb, BLOCK_Q, 1), jnp.float32),
-            pltpu.VMEM((hb, BLOCK_Q, d), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=jax.default_backend() == "cpu",
-    )(*args)
+    if mask is not None:
+        # block-sparse skip: per-tile non-emptiness bitmap (tiny), scalar-prefetched
+        tile_any = (
+            mask.reshape(b, nq, BLOCK_Q, nk, BLOCK_K).any(axis=(2, 4)).astype(jnp.int32)
+        )
+        mask_spec = pl.BlockSpec((1, BLOCK_Q, BLOCK_K), lambda bg, qi, ki, *_: (bg // g, qi, ki))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * g, nq, nk),
+            in_specs=[q_spec, k_spec, k_spec, mask_spec],
+            out_specs=o_spec,
+            scratch_shapes=scratch,
+        )
+        out = pl.pallas_call(
+            functools.partial(_fwd_kernel_sparse, nk=nk, g=g),
+            out_shape=out_shape,
+            grid_spec=grid_spec,
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(tile_any, qt, kt, vt, mask)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_fwd_kernel_nomask, nk=nk),
+            out_shape=out_shape,
+            grid=(b * g, nq, nk),
+            in_specs=[q_spec, k_spec, k_spec],
+            out_specs=o_spec,
+            scratch_shapes=scratch,
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(qt, kt, vt)
     return out.reshape(b, h, lq, d).transpose(0, 2, 1, 3)
 
 

@@ -13,7 +13,7 @@
 //   vd_pool_submit(pool, path, indices, n)      // returns a ticket
 //   vd_pool_fetch(pool, ticket, out_rgb, h, w)  // blocks until decoded
 //
-// Build: python setup_native.py build_ext  (or `make -C native/decode`).
+// Build: `make -C native/decode` (emits camc2v_tpu/data/libcamc2v_decode.so).
 
 extern "C" {
 #include <libavcodec/avcodec.h>

@@ -45,6 +45,21 @@ def test_flash_fully_masked_rows_are_zero():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_flash_block_sparse_tiles_skipped_correctly():
+    # structured mask with entire (BLOCK_Q, BLOCK_K) tiles empty — exercises
+    # the scalar-prefetch skip path; result must still match dense attention
+    q, k, v = _qkv()
+    mask = np.zeros((B, LQ, LK), bool)
+    mask[:, :BLOCK_Q, :BLOCK_K] = True          # only tile (0, 0) active
+    mask[:, BLOCK_Q:, BLOCK_K:] = np.random.default_rng(3).uniform(
+        size=(B, LQ - BLOCK_Q, LK - BLOCK_K)
+    ) > 0.5                                      # tiles (1, 1) partially active
+    mask = jnp.asarray(mask)
+    out = flash_attention(q, k, v, mask=mask)
+    ref = _xla_attention(q, k, v, bias=None, mask=mask[:, None], scale=D**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_flash_supported_guard():
     q, k, v = _qkv()
     assert flash_supported(q, k, None)
