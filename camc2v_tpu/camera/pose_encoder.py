@@ -110,7 +110,7 @@ class PoseTemporalAttention(nn.Module):
         hf = LayerNormF32(name="ff_norm")(x)
         proj = Dense(c * 8, dtype=self.dtype, name="ff_proj")(hf)
         a, gate = jnp.split(proj, 2, axis=-1)
-        hf = a * nn.gelu(gate)
+        hf = a * nn.gelu(gate, approximate=False)  # diffusers GEGLU uses exact gelu
         x = Dense(c, dtype=self.dtype, name="ff_out")(hf) + x
         return x
 

@@ -163,7 +163,7 @@ class GEGLU(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         proj = Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
         x, gate = jnp.split(proj, 2, axis=-1)
-        return x * nn.gelu(gate)
+        return x * nn.gelu(gate, approximate=False)  # torch F.gelu is exact erf
 
 
 class FeedForward(nn.Module):
@@ -181,7 +181,7 @@ class FeedForward(nn.Module):
         if self.glu:
             h = GEGLU(inner, dtype=self.dtype, name="geglu")(x)
         else:
-            h = nn.gelu(Dense(inner, dtype=self.dtype, name="fc1")(x))
+            h = nn.gelu(Dense(inner, dtype=self.dtype, name="fc1")(x), approximate=False)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         return Dense(self.dim_out, dtype=self.dtype, name="fc2")(h)
