@@ -37,6 +37,13 @@ def parse_args():
 def main():
     args = parse_args()
     import jax
+
+    # multi-host SPMD (the torchrun/slurm analogue): any of the standard
+    # coordinator env vars triggers jax.distributed; chips of all hosts join
+    # one global `data` mesh (ICI within slice, DCN across hosts)
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
     import numpy as np
 
     from camc2v_tpu.config_yaml import apply_dotlist, build_model_from_config, build_train_config, load_yaml
@@ -73,7 +80,10 @@ def main():
     data_cfg = cfg.get("data", {}).get("params", {})
     bs = data_cfg.get("batch_size", 1)
     train_ds = RealEstate10K(tokenizer=tokenizer, **data_cfg.get("train", {}).get("params", {}))
-    train_dl = DataLoader(train_ds, batch_size=bs, shuffle=True, seed=args.seed)
+    train_dl = DataLoader(
+        train_ds, batch_size=bs, shuffle=True, seed=args.seed,
+        num_shards=jax.process_count(), shard_index=jax.process_index(),
+    )
     val_dl = None
     if "validation" in data_cfg:
         val_ds = RealEstate10K(tokenizer=tokenizer, **data_cfg["validation"].get("params", {}))

@@ -346,24 +346,39 @@ class DataLoader:
 
     Stands in for torch DataLoader (reference: main/utils_data.py:44-150); the
     C++ decode worker pool plugs in underneath VideoReader, not here.
+    `num_shards`/`shard_index` give per-host data sharding for multi-host SPMD
+    (each host feeds its local chips; set from jax.process_count/index).
     """
 
-    def __init__(self, dataset, batch_size: int, shuffle: bool = False, seed: int = 0, drop_last: bool = True):
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = True,
+        num_shards: int = 1,
+        shard_index: int = 0,
+    ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        self.num_shards = num_shards
+        self.shard_index = shard_index
         self.epoch = 0
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self.dataset) // self.num_shards
         return n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        if self.num_shards > 1:
+            order = order[self.shard_index :: self.num_shards]
         self.epoch += 1
         batch = []
         for idx in order:

@@ -370,9 +370,26 @@ class DynamiCrafter:
         return self.p_losses(params, z, cond, t, lkey, fs)
 
     # --------------------------------------------------------------- sample
-    def build_uncond(self, params: dict, cond: dict, batch_size: int, image_hw: tuple[int, int]) -> dict:
-        """Unconditional embedding assembly. reference: model/base.py:418-447."""
-        uc_prompt = self.null_text_embedding(params, batch_size)
+    def build_uncond(
+        self,
+        params: dict,
+        cond: dict,
+        batch_size: int,
+        image_hw: tuple[int, int],
+        negative_prompt_tokens: Optional[jax.Array] = None,
+    ) -> dict:
+        """Unconditional embedding assembly. reference: model/base.py:418-447
+        (uncond_type 'empty_seq' / 'zero_embed' / 'negative_prompt')."""
+        ut = self.config.uncond_type
+        if negative_prompt_tokens is not None or ut == "negative_prompt":
+            assert negative_prompt_tokens is not None, "negative_prompt mode needs tokens"
+            uc_prompt = self.encode_text(params, negative_prompt_tokens)
+        elif ut == "zero_embed":
+            uc_prompt = jnp.zeros_like(
+                cond["c_crossattn"][:, : self.config.clip_text.context_length]
+            )
+        else:  # empty_seq
+            uc_prompt = self.null_text_embedding(params, batch_size)
         zero_img = jnp.zeros((batch_size, *image_hw, 3))
         uc_img = self.embed_images(params, zero_img)
         uc = dict(cond)
@@ -397,6 +414,7 @@ class DynamiCrafter:
         trace_scale_factor: float = 1.0,
         paste_cond_frame: bool = False,
         num_overlap: int = 0,
+        negative_prompt_tokens: Optional[jax.Array] = None,
         decode: bool = True,
         return_cond: bool = False,
     ):
@@ -424,7 +442,11 @@ class DynamiCrafter:
         ddim = DDIMSchedule.create(self.schedule, ddim_steps, timestep_spacing, ddim_eta)
         x_T = jax.random.normal(pkey, z.shape, jnp.float32)
 
-        uc = self.build_uncond(params, cond, b, image_hw) if guidance_scale != 1.0 else None
+        uc = (
+            self.build_uncond(params, cond, b, image_hw, negative_prompt_tokens)
+            if guidance_scale != 1.0
+            else None
+        )
         model_out_fn = self.build_guided_fn(
             params, cond, uc, fs,
             guidance_scale=guidance_scale,

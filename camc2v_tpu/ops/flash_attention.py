@@ -8,10 +8,11 @@ chip. The kernel streams KV blocks through VMEM with an online softmax, so
 HBM holds only inputs + the bool mask (the mask itself is the reference's
 design: model/camcontexti2v.py:552 materialises the same (B, L, L) bools).
 
-Kernel layout: the grid is (B, q_blocks, k_blocks) and EVERY head is processed
-inside one grid step (unrolled loop). This loads each boolean mask block once
-per (q, k) tile instead of once per head — the mask is the dominant HBM
-stream at ds8 (536 MB/layer) and head counts reach 20 at ds4.
+Kernel layout: the grid is (B*head_groups, q_blocks, k_blocks); each grid step
+processes a whole head group (<=8 heads) with batched dot_generals, loading
+each boolean mask tile ONCE per (q, k) block instead of once per head. Empty
+mask tiles are skipped entirely via a scalar-prefetched bitmap. Block sizes
+(256, 1024) were swept on a v5e; the kernel is VPU-softmax bound.
 
 Backward pass: the kernel is forward-only; `flash_attention` wraps it in a
 `jax.custom_vjp` whose backward recomputes attention block-wise (flash-style
@@ -30,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_Q = 256
-BLOCK_K = 512
+BLOCK_K = 1024
 NEG_INF = -1e30
 MAX_HEADS_FUSED = 32  # VMEM budget guard for the per-step head loop
 

@@ -78,10 +78,13 @@ def convert(torch_path: str, out_path: str) -> None:
         new[fk] = arr.astype(np.float32)
         mapped += 1
 
-    # rebuild pytree
+    # rebuild pytree and store as a plain nested dict (pickle-free-ish npz)
+    import flax
+
     ordered = [new["/".join(str(getattr(kk, "key", kk)) for kk in path)] for path, _ in leaves]
     variables = jax.tree_util.tree_unflatten(treedef, ordered)
-    np.savez_compressed(out_path, variables=np.asarray(jax.device_get(variables), dtype=object))
+    state = flax.serialization.to_state_dict(jax.device_get(variables))
+    np.savez_compressed(out_path, variables=np.asarray(state, dtype=object))
     print(f"mapped {mapped} tensors ({len(missed)} unmatched) -> {out_path}")
     if missed[:5]:
         print("first unmatched:", missed[:5])
