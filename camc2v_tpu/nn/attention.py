@@ -19,13 +19,13 @@ feature maps; TemporalTransformer consumes (B, T, H, W, C).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from camc2v_tpu.nn.layers import Conv, Dense, Dtype, GroupNorm32, LayerNormF32
+from camc2v_tpu.nn.layers import Dense, Dtype, GroupNorm32, LayerNormF32
 from camc2v_tpu.nn.epipolar import Epipolar, EpipolarConfig
 from camc2v_tpu.ops.attention import dot_product_attention
 

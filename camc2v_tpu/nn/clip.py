@@ -19,7 +19,7 @@ Weights load from the reference checkpoints via utils/torch_import.py.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+
 
 import flax.linen as nn
 import jax

@@ -14,7 +14,7 @@ on the fly from F-matrices and replaces the dense path at full resolution.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

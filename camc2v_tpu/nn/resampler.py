@@ -9,7 +9,7 @@ projection (`use_timestep_emb: true`).
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -11,7 +11,7 @@ helpers) — the VAE itself only ever sees (N, H, W, C) images.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

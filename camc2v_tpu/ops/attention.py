@@ -16,7 +16,6 @@ softmax accumulates in float32 — matching both xformers and SDPA semantics.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -24,10 +24,10 @@ from typing import Any, Callable, Optional
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from camc2v_tpu.core import ema as ema_lib
-from camc2v_tpu.parallel.mesh import DATA_AXIS, batch_sharding, replicated, zero1_sharding
+from camc2v_tpu.parallel.mesh import replicated, zero1_sharding
 
 
 @dataclasses.dataclass(frozen=True)
