@@ -86,7 +86,11 @@ def main():
     )
     val_dl = None
     if "validation" in data_cfg:
-        val_ds = RealEstate10K(tokenizer=tokenizer, **data_cfg["validation"].get("params", {}))
+        val_ds = RealEstate10K(
+            tokenizer=tokenizer,
+            max_samples=data_cfg.get("validation_max_n_samples"),
+            **data_cfg["validation"].get("params", {}),
+        )
         val_dl = DataLoader(val_ds, batch_size=bs, shuffle=False)
 
     mesh = M.make_mesh()

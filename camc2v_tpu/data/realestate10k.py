@@ -178,8 +178,12 @@ class RealEstate10K:
         tokenizer: Optional[Callable[[str], np.ndarray]] = None,
         video_suffix: str = ".mp4",
         seed: Optional[int] = None,
+        max_samples: Optional[int] = None,
         **unused,
     ):
+        """max_samples caps the dataset (the reference DataModule's
+        validation_max_n_samples / test_max_n_samples Subset semantics,
+        main/utils_data.py:44-150)."""
         assert spatial_transform in (None, "resize_center_crop")
         self.meta_path = meta_path
         self.data_dir = data_dir
@@ -206,6 +210,8 @@ class RealEstate10K:
         self.invalid_samples = set(exclude_samples)
         if self.invalid_samples:
             self.metadata = [m for m in self.metadata if m not in self.invalid_samples]
+        if max_samples is not None:
+            self.metadata = self.metadata[:max_samples]
 
     def __len__(self) -> int:
         return len(self.metadata)
