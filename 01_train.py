@@ -83,6 +83,7 @@ def main():
     train_dl = DataLoader(
         train_ds, batch_size=bs, shuffle=True, seed=args.seed,
         num_shards=jax.process_count(), shard_index=jax.process_index(),
+        num_workers=data_cfg.get("num_workers", 2),
     )
     val_dl = None
     if "validation" in data_cfg:

@@ -47,6 +47,11 @@ _lib.vd_pool_fetch.argtypes = [
     ctypes.c_void_p, ctypes.c_long, ctypes.POINTER(ctypes.c_ubyte),
     ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
 ]
+_lib.vd_pool_dims.restype = ctypes.c_int
+_lib.vd_pool_dims.argtypes = [
+    ctypes.c_void_p, ctypes.c_long,
+    ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+]
 
 
 class NativeVideo:
@@ -93,10 +98,18 @@ class DecodePool:
         idx = (ctypes.c_long * n)(*[int(i) for i in indices])
         return int(_lib.vd_pool_submit(self._p, path.encode(), idx, n))
 
-    def fetch(self, ticket: int, n_frames: int, height: int, width: int) -> np.ndarray:
-        out = np.empty((n_frames, height, width, 3), np.uint8)
+    def fetch(self, ticket: int, n_frames: int) -> np.ndarray:
+        """Block until the job completes; returns (n_frames, H, W, 3) uint8.
+
+        Dims come from the decoded job itself (vd_pool_dims), so the buffer is
+        always sized correctly for clips of any resolution.
+        """
         h = ctypes.c_int()
         w = ctypes.c_int()
+        ret = _lib.vd_pool_dims(self._p, ticket, ctypes.byref(h), ctypes.byref(w))
+        if ret != 0:
+            raise IOError(f"pool decode failed ({ret})")
+        out = np.empty((n_frames, h.value, w.value, 3), np.uint8)
         ret = _lib.vd_pool_fetch(
             self._p, ticket, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
             ctypes.byref(h), ctypes.byref(w),

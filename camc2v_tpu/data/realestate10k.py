@@ -33,6 +33,11 @@ from camc2v_tpu.config import register
 from camc2v_tpu.data.video_io import VideoReader
 
 
+class InvalidSample(Exception):
+    """Raised by plan/decode for samples that must be resampled
+    (reference: realestate10k.py:156-180 invalid-sample set semantics)."""
+
+
 def parse_pose_lines(lines: Sequence[str], indices: Optional[Sequence[int]] = None) -> np.ndarray:
     """Pose-file body lines -> (N, 19) float array (ts, fx, fy, cx, cy, k1, k2, 3x4)."""
     arr = np.loadtxt(lines)
@@ -228,22 +233,30 @@ class RealEstate10K:
     def _resample(self):
         return self[self._rng.randint(0, len(self) - 1)]
 
-    def __getitem__(self, index: int) -> dict:
+    # ------------------------------------------------------- two-phase fetch
+    # __getitem__ = plan() [host metadata, no decode] + finish() [transform].
+    # The split lets PrefetchDataLoader run the decode on the C++ DecodePool
+    # between the phases (reference analogue: persistent DataLoader workers,
+    # main/utils_data.py:44-150).
+
+    def plan(self, index: int) -> dict:
+        """Metadata phase: choose clip/context indices + poses. Raises
+        InvalidSample for samples that should be resampled."""
         index = index % len(self.metadata)
         name = self.metadata[index]
         if name in self.invalid_samples:
-            return self._resample()
+            raise InvalidSample(name)
 
         cap_key = f"{name}.mp4"
         if cap_key not in self.captions:
             self.invalid_samples.add(name)
-            return self._resample()
+            raise InvalidSample(name)
         caption_entry = self.captions[cap_key]
         caption = caption_entry[0] if isinstance(caption_entry, list) else caption_entry
 
         video_path = os.path.join(self.data_dir, f"{name}{self.video_suffix}")
         if not os.path.exists(video_path):
-            return self._resample()
+            raise InvalidSample(name)
 
         with open(os.path.join(self.meta_path, f"{name}.txt")) as f:
             lines = f.readlines()[1:]
@@ -251,9 +264,12 @@ class RealEstate10K:
 
         try:
             reader = VideoReader(video_path)
+            n_video_frames = len(reader)
+            fps = reader.fps
+            reader.close()
         except Exception:
             self.invalid_samples.add(name)
-            return self._resample()
+            raise InvalidSample(name)
 
         stride, required = choose_frame_stride(self.frame_stride, frame_num, self.video_length, self._rng)
         frame_indices = sample_clip_indices(frame_num, self.video_length, stride, required, self._rng)
@@ -262,31 +278,58 @@ class RealEstate10K:
         intr_norm, w2c = poses_from_camera_data(camera_data)
 
         context_indices = None
-        try:
-            frames = reader.get_batch(frame_indices)
-            if self.additional_cond_frames not in (None, "none"):
-                context_indices = sample_context_indices(
-                    self.additional_cond_frames,
-                    stride,
-                    (frame_indices[0], frame_indices[-1]),
-                    len(reader),
-                    self.num_additional_cond_frames,
-                    self._nprng,
-                )
-                ctx_frames = reader.get_batch(context_indices)
-                frames = np.concatenate([frames, ctx_frames], axis=0)
-                ctx_camera_data = parse_pose_lines(lines, context_indices)
-                _, w2c_cond = poses_from_camera_data(ctx_camera_data)
-            fps = reader.fps
-        except Exception:
-            self.invalid_samples.add(name)
-            return self._resample()
-        finally:
-            reader.close()
+        w2c_cond = None
+        ctx_intr = None
+        if self.additional_cond_frames not in (None, "none"):
+            context_indices = sample_context_indices(
+                self.additional_cond_frames,
+                stride,
+                (frame_indices[0], frame_indices[-1]),
+                n_video_frames,
+                self.num_additional_cond_frames,
+                self._nprng,
+            )
+            ctx_camera_data = parse_pose_lines(lines, context_indices)
+            ctx_intr = ctx_camera_data[:, 1:5]
+            _, w2c_cond = poses_from_camera_data(ctx_camera_data)
 
-        # resize-center-crop; intrinsics for target+context frames together
-        all_intr = intr_norm if context_indices is None else np.concatenate(
-            [intr_norm, ctx_camera_data[:, 1:5]], axis=0
+        return {
+            "name": name,
+            "caption": caption,
+            "video_path": video_path,
+            "fps": fps,
+            "stride": stride,
+            "frame_indices": list(frame_indices),
+            "context_indices": None if context_indices is None else [int(i) for i in context_indices],
+            "camera_data": camera_data,
+            "intr_norm": intr_norm,
+            "w2c": w2c,
+            "w2c_cond": w2c_cond,
+            "ctx_intr": ctx_intr,
+        }
+
+    def decode(self, plan: dict) -> np.ndarray:
+        """Synchronous decode of the planned frames (video + context)."""
+        indices = list(plan["frame_indices"]) + (plan["context_indices"] or [])
+        try:
+            reader = VideoReader(plan["video_path"])
+            try:
+                return reader.get_batch(indices)
+            finally:
+                reader.close()
+        except Exception:
+            self.invalid_samples.add(plan["name"])
+            raise InvalidSample(plan["name"])
+
+    def finish(self, plan: dict, frames: np.ndarray) -> dict:
+        """Transform phase: resize-center-crop + intrinsics rescale + assembly."""
+        caption = plan["caption"]
+        context_indices = plan["context_indices"]
+        camera_data = plan["camera_data"]
+        stride = plan["stride"]
+
+        all_intr = plan["intr_norm"] if context_indices is None else np.concatenate(
+            [plan["intr_norm"], plan["ctx_intr"]], axis=0
         )
         frames, K_all = resize_center_crop(frames, self.resolution[0], self.resolution[1], all_intr)
         K = K_all[: self.video_length]
@@ -298,18 +341,18 @@ class RealEstate10K:
         sample = {
             "video": video[: self.video_length],
             "caption": caption,
-            "video_path": video_path,
-            "fps": np.float32(fps // max(1, stride)),
+            "video_path": plan["video_path"],
+            "fps": np.float32(plan["fps"] // max(1, stride)),
             "frame_stride": np.int32(
                 stride if self.frame_stride_for_condition == 0 else self.frame_stride_for_condition
             ),
-            "RT": w2c.astype(np.float32),
+            "RT": plan["w2c"].astype(np.float32),
             "camera_data": camera_data.astype(np.float32),
             "camera_intrinsics": K.astype(np.float32),
         }
         if context_indices is not None:
             sample["cond_frames"] = video[self.video_length :]
-            sample["RT_cond"] = w2c_cond.astype(np.float32)
+            sample["RT_cond"] = plan["w2c_cond"].astype(np.float32)
 
         if self.invert_video and self._rng.random() > 0.5:
             sample["video"] = sample["video"][::-1].copy()
@@ -320,6 +363,14 @@ class RealEstate10K:
                 toks = toks[0]
             sample["caption_tokens"] = toks
         return sample
+
+    def __getitem__(self, index: int) -> dict:
+        try:
+            plan = self.plan(index)
+            frames = self.decode(plan)
+            return self.finish(plan, frames)
+        except InvalidSample:
+            return self._resample()
 
     # ---------------------------------------------------------------- batch
     def collate(self, samples: list[dict]) -> dict:
@@ -348,10 +399,16 @@ class RealEstate10K:
 
 
 class DataLoader:
-    """Minimal epoch iterator with shuffling and collate (host-side).
+    """Epoch iterator with shuffling, collate, and threaded decode prefetch.
 
-    Stands in for torch DataLoader (reference: main/utils_data.py:44-150); the
-    C++ decode worker pool plugs in underneath VideoReader, not here.
+    Stands in for the reference's multi-worker torch DataLoader
+    (reference: main/utils_data.py:44-150):
+      * num_workers > 0: worker threads pipeline plan -> decode -> finish ahead
+        of the consumer, keeping `prefetch_batches` batches in flight. The
+        decode phase is submitted to the C++ DecodePool (native/decode
+        vd_pool_*, GIL-free libav worker threads) when the library is built,
+        falling back to in-thread VideoReader decode otherwise.
+      * num_workers == 0: synchronous (deterministic order; tests use this).
     `num_shards`/`shard_index` give per-host data sharding for multi-host SPMD
     (each host feeds its local chips; set from jax.process_count/index).
     """
@@ -365,6 +422,9 @@ class DataLoader:
         drop_last: bool = True,
         num_shards: int = 1,
         shard_index: int = 0,
+        num_workers: int = 0,
+        prefetch_batches: int = 2,
+        native_pool_threads: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -373,24 +433,101 @@ class DataLoader:
         self.drop_last = drop_last
         self.num_shards = num_shards
         self.shard_index = shard_index
+        self.num_workers = num_workers
+        self.prefetch_batches = max(1, prefetch_batches)
+        self.native_pool_threads = native_pool_threads
         self.epoch = 0
+        self._pool = None
+        if num_workers > 0:
+            try:
+                from camc2v_tpu.data._native_decode import DecodePool
+
+                self._pool = DecodePool(native_pool_threads or num_workers)
+            except ImportError:
+                self._pool = None  # .so not built — decode in worker threads
 
     def __len__(self):
         n = len(self.dataset) // self.num_shards
         return n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self):
+    def _order(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
         if self.num_shards > 1:
             order = order[self.shard_index :: self.num_shards]
         self.epoch += 1
-        batch = []
-        for idx in order:
-            batch.append(self.dataset[int(idx)])
-            if len(batch) == self.batch_size:
-                yield self.dataset.collate(batch) if hasattr(self.dataset, "collate") else batch
+        return order
+
+    def _collate(self, batch):
+        return self.dataset.collate(batch) if hasattr(self.dataset, "collate") else batch
+
+    def _fetch_sample(self, idx: int) -> dict:
+        """plan -> (pool) decode -> finish, with resample-on-invalid retries."""
+        if not hasattr(self.dataset, "plan"):
+            return self.dataset[int(idx)]
+        rng = random.Random((self.seed, self.epoch, int(idx)).__hash__())
+        for _ in range(32):
+            try:
+                plan = self.dataset.plan(int(idx))
+                frames = None
+                if self._pool is not None:
+                    indices = list(plan["frame_indices"]) + (plan["context_indices"] or [])
+                    try:
+                        ticket = self._pool.submit(plan["video_path"], indices)
+                        frames = self._pool.fetch(ticket, len(indices))
+                    except Exception:
+                        frames = None  # container libav can't read (e.g. .npz) — sync fallback
+                if frames is None:
+                    frames = self.dataset.decode(plan)
+                return self.dataset.finish(plan, frames)
+            except InvalidSample:
+                idx = rng.randint(0, len(self.dataset) - 1)
+        raise RuntimeError("32 consecutive invalid samples — dataset looks broken")
+
+    def __iter__(self):
+        if self.num_workers <= 0:
+            order = self._order()
+            batch = []
+            for idx in order:
+                batch.append(self.dataset[int(idx)])
+                if len(batch) == self.batch_size:
+                    yield self._collate(batch)
+                    batch = []
+            if batch and not self.drop_last:
+                yield self._collate(batch)
+            return
+        yield from self._iter_prefetch()
+
+    def _iter_prefetch(self):
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        order = self._order()
+        max_inflight = self.batch_size * self.prefetch_batches + self.num_workers
+        ex = ThreadPoolExecutor(max_workers=self.num_workers)
+        futures = collections.deque()
+        it = iter(order.tolist())
+        try:
+            exhausted = False
+            while True:
+                while not exhausted and len(futures) < max_inflight:
+                    nxt = next(it, None)
+                    if nxt is None:
+                        exhausted = True
+                        break
+                    futures.append(ex.submit(self._fetch_sample, int(nxt)))
+                if not futures:
+                    break
                 batch = []
-        if batch and not self.drop_last:
-            yield self.dataset.collate(batch) if hasattr(self.dataset, "collate") else batch
+                while futures and len(batch) < self.batch_size:
+                    batch.append(futures.popleft().result())
+                if len(batch) == self.batch_size or (batch and not self.drop_last):
+                    yield self._collate(batch)
+        finally:
+            ex.shutdown(wait=True, cancel_futures=True)
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.close()
+            self._pool = None

@@ -68,12 +68,17 @@ class CameraControlLVDM(DynamiCrafter):
             )
         epi = getattr(cfg, "epipolar", None) or cfg.unet.epipolar
         if epi is not None and not epi.is_3d_full_attn:
-            h = image_hw[0] // 8
-            w = image_hw[1] // 8
-            cam["masks"] = {
-                8 * ds: jnp.ones((1, T * (h // ds) * (w // ds), T * (h // ds) * (w // ds)), bool)
-                for ds in epi.attention_resolution
-            }
+            from camc2v_tpu.nn.epipolar import plain_epipolar
+
+            if plain_epipolar(epi):
+                cam["F"] = jnp.zeros((1, T, T, 3, 3))
+            else:
+                h = image_hw[0] // 8
+                w = image_hw[1] // 8
+                cam["masks"] = {
+                    8 * ds: jnp.ones((1, T * (h // ds) * (w // ds), T * (h // ds) * (w // ds)), bool)
+                    for ds in epi.attention_resolution
+                }
         if len(cam) == 1:  # only cond_frame_index — no camera modules configured
             return None
         return cam
@@ -164,6 +169,8 @@ class CamI2V(CameraControlLVDM):
         cam: dict[str, Any] = {"cond_frame_index": cond_frame_index}
 
         if cfg.epipolar is not None and not cfg.epipolar.is_3d_full_attn:
+            from camc2v_tpu.nn.epipolar import plain_epipolar
+
             pairs = G.relative_c2w_pairs(rel_c2w)  # (B, T, T, 4, 4)
             R = pairs[..., :3, :3]
             tvec = pairs[..., :3, 3:4]
@@ -173,7 +180,13 @@ class CamI2V(CameraControlLVDM):
                 tvec = G.add_small_perturbation(tvec, pkey)
             K_pairs = jnp.broadcast_to(K[:, None], (b, t, t, 3, 3))
             F = G.fundamental_matrix(K_pairs, R, tvec)
-            cam["masks"] = G.build_epipolar_masks(F, t, (H // 8, W // 8), cfg.epipolar)
+            if plain_epipolar(cfg.epipolar):
+                # mask-free path: the UNet's epipolar kernels compute masks
+                # in-kernel from F (ops/epipolar_flash.py) — no (B, L, L)
+                # bools in HBM, no XLA mask-build fusions
+                cam["F"] = F
+            else:
+                cam["masks"] = G.build_epipolar_masks(F, t, (H // 8, W // 8), cfg.epipolar)
 
         plucker = self.plucker_features(params, K, rel_c2w, H, W)
         if plucker is not None:

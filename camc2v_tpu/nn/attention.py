@@ -301,6 +301,7 @@ class BasicTransformerBlock(nn.Module):
                     feats,
                     masks=camera.get("masks"),
                     cond_frame_index=camera.get("cond_frame_index"),
+                    F=camera.get("F"),
                 )  # (B*h*w, T, C)
                 zero_init_x = zero_init_x + epi_out
 

@@ -24,6 +24,24 @@ from camc2v_tpu.nn.layers import Dense, Dtype
 from camc2v_tpu.ops.attention import dot_product_attention
 
 
+def plain_epipolar(cfg: "EpipolarConfig") -> bool:
+    """True when the mask is the pure `dist < thresh` band (no fallbacks).
+
+    Only then can the mask be computed in-kernel from fundamental matrices
+    (ops/epipolar_flash.py); every shipped flagship config
+    (configs/models/camcontexti2v_256.yaml epipolar_config) is plain.
+    """
+    return not (
+        cfg.is_3d_full_attn
+        or cfg.apply_epipolar_soft_mask
+        or cfg.epipolar_hybrid_attention
+        or cfg.epipolar_hybrid_attention_v2
+        or cfg.only_self_pixel_on_current_frame
+        or cfg.current_frame_as_register_token
+        or cfg.only_on_cond_frame
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class EpipolarConfig:
     """Static configuration of the epipolar attention modules (hashable)."""
@@ -64,13 +82,57 @@ class EpipolarCrossAttention(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, context: jax.Array, attn_mask: Optional[jax.Array] = None
+        self,
+        x: jax.Array,
+        context: jax.Array,
+        attn_mask: Optional[jax.Array] = None,
+        *,
+        lines: Optional[jax.Array] = None,
+        geom: Optional[tuple[int, int, int, int]] = None,
     ) -> jax.Array:
-        """x: (B, L1, C); context: (B, L2, C); attn_mask: (B, L1, L2) bool (True=attend)."""
+        """x: (B, L1, C); context: (B, L2, C); attn_mask: (B, L1, L2) bool (True=attend).
+
+        When `lines` (B, L1, T, 3) + `geom` (t, h, w, downsample) are given the
+        mask is computed in-kernel (ops/epipolar_flash.py) — attn_mask must be
+        None and the register tokens ride at the END of the key axis (an
+        attention-invariant reordering of the reference's front position).
+        """
         inner = self.heads * self.dim_head
         b = x.shape[0]
 
         q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+
+        if lines is not None:
+            from camc2v_tpu.ops import epipolar_flash as ef
+
+            assert attn_mask is None and geom is not None
+            t, hh, ww, ds, block_k = geom
+            ctx_dim = context.shape[-1]
+            parts = [context]
+            if self.num_register_tokens > 0:
+                reg = self.param(
+                    "register_tokens",
+                    nn.initializers.normal(1.0),
+                    (1, self.num_register_tokens, ctx_dim),
+                    jnp.float32,
+                )
+                parts.append(
+                    jnp.broadcast_to(reg, (b, self.num_register_tokens, ctx_dim)).astype(context.dtype)
+                )
+            pad = block_k - self.num_register_tokens
+            parts.append(jnp.zeros((b, pad, ctx_dim), context.dtype))
+            context_ext = jnp.concatenate(parts, axis=1)
+            k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context_ext)
+            v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context_ext)
+            split = lambda z: z.reshape(z.shape[0], z.shape[1], self.heads, self.dim_head)
+            out = ef.epipolar_flash_attention(
+                split(q), split(k), split(v), lines,
+                t=t, h=hh, w=ww, downsample=ds, block_k=block_k,
+                num_registers=self.num_register_tokens,
+            )
+            out = out.reshape(b, -1, inner)
+            out_dim = self.out_dim if self.out_dim is not None else self.query_dim
+            return Dense(out_dim, zero_init=self.zero_init_out, dtype=self.dtype, name="to_out")(out)
 
         if self.num_register_tokens > 0:
             ctx_dim = context.shape[-1]
@@ -117,12 +179,37 @@ class Epipolar(nn.Module):
         features: jax.Array,
         masks: Optional[dict[int, jax.Array]] = None,
         cond_frame_index: Optional[jax.Array] = None,
+        F: Optional[jax.Array] = None,
     ) -> jax.Array:
         b, t, hh, ww, c = features.shape
         cfg = self.config
 
         attn_mask = None
-        if masks is not None and not cfg.is_3d_full_attn:
+        lines = None
+        geom = None
+        if F is not None and masks is None and not cfg.is_3d_full_attn:
+            # mask-free path: epipolar lines from the fundamental matrices;
+            # in-kernel mask when the geometry tiles cleanly, else a
+            # materialised plain mask (identical semantics, see plain_epipolar)
+            from camc2v_tpu.ops import epipolar_flash as ef
+
+            assert plain_epipolar(cfg), "F-payload requires a plain epipolar config"
+            ds = cfg.origin_h // hh
+            lines = ef.epipolar_lines(F, hh, ww, ds)
+            dim_head = int(self.query_dim // self.heads // cfg.compression_factor)
+            block_k = min(ef.BLOCK_K, hh * ww)  # k-tiles never span frames
+            kernel_ok = (
+                block_k >= 256
+                and (hh * ww) % block_k == 0
+                and (t * hh * ww) % ef.BLOCK_Q == 0
+                and (dim_head in (64, 128) or jax.default_backend() == "cpu")
+            )
+            if kernel_ok:
+                geom = (t, hh, ww, ds, block_k)
+            else:
+                attn_mask = ef.materialize_mask(lines, t, hh, ww, ds)
+                lines = None
+        elif masks is not None and not cfg.is_3d_full_attn:
             attn_mask = masks.get(cfg.origin_h // hh)
 
         x = features.reshape(b, t * hh * ww, c)
@@ -148,7 +235,7 @@ class Epipolar(nn.Module):
             zero_init_out=True,
             dtype=self.dtype,
             name="epipolar_attn",
-        )(x, context, attn_mask)
+        )(x, context, attn_mask, lines=lines, geom=geom)
 
         # (B, T*h*w, C) -> (B*h*w, T, C)
         return out.reshape(b, t, hh * ww, -1).transpose(0, 2, 1, 3).reshape(b * hh * ww, t, -1)

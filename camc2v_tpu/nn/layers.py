@@ -23,29 +23,50 @@ Dtype = Any
 zeros_init = nn.initializers.zeros_init()
 
 
+class _GNParams(nn.Module):
+    """Scale/bias container named like nn.GroupNorm so param paths (and the
+    torch-checkpoint importer's `GroupNorm_0/scale` mapping) stay unchanged."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return scale, bias
+
+
 class GroupNorm32(nn.Module):
-    """GroupNorm computing statistics in float32 regardless of input dtype."""
+    """GroupNorm computing statistics in float32 regardless of input dtype.
+
+    On TPU, eligible shapes run the fused one-HBM-pass Pallas kernel
+    (ops/groupnorm.py) with an optional fused SiLU; other shapes / CPU use the
+    numerically identical plain-XLA path.
+    """
 
     num_groups: int = 32
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        orig_dtype = x.dtype
+    def __call__(self, x: jax.Array, *, silu: bool = False) -> jax.Array:
         c = x.shape[-1]
         groups = self.num_groups
         if c % groups != 0:  # tiny test configs; production channel counts divide 32
             import math as _math
 
             groups = _math.gcd(c, groups)
-        out = nn.GroupNorm(
-            num_groups=groups,
-            epsilon=self.epsilon,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
-        return out.astype(orig_dtype)
+        scale, bias = _GNParams(c, name="GroupNorm_0")()
+
+        from camc2v_tpu.ops import groupnorm as gnops
+
+        if jax.default_backend() != "cpu" and gnops.group_norm_supported(x, groups):
+            return gnops.group_norm_fused(
+                x, scale, bias, num_groups=groups, eps=self.epsilon, silu=silu
+            )
+        return gnops.group_norm_plain(
+            x, scale, bias, num_groups=groups, eps=self.epsilon, silu=silu
+        )
 
 
 class LayerNormF32(nn.Module):
@@ -75,11 +96,16 @@ def Dense(features: int, *, use_bias: bool = True, zero_init: bool = False, dtyp
 
 
 def Conv(features: int, kernel_size, *, strides=1, zero_init: bool = False, dtype=jnp.float32, name=None):
+    # Explicit symmetric torch-style padding ((k-1)//2 per side), NOT "SAME":
+    # they agree at stride 1, but for the stride-2 Downsample conv on even
+    # dims SAME pads (0,1) while torch's padding=1 pads (1,1) — a real
+    # numerical divergence caught by tests/test_reference_parity.py.
+    padding = tuple(((k - 1) // 2, (k - 1) // 2) for k in kernel_size)
     return nn.Conv(
         features,
         kernel_size=kernel_size,
         strides=strides,
-        padding="SAME",
+        padding=padding,
         kernel_init=zeros_init if zero_init else nn.initializers.lecun_normal(),
         bias_init=zeros_init,
         dtype=dtype,
@@ -158,8 +184,7 @@ class TemporalConvBlock(nn.Module):
         identity = x
 
         def stage(h, name, zero_init=False, use_dropout=False):
-            h = GroupNorm32(name=f"{name}_norm")(h)
-            h = nn.silu(h)
+            h = GroupNorm32(name=f"{name}_norm")(h, silu=True)
             if use_dropout and self.dropout > 0:
                 h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
             h = nn.Conv(
@@ -207,8 +232,7 @@ class ResBlock(nn.Module):
     ) -> jax.Array:
         in_ch = x.shape[-1]
 
-        h = GroupNorm32(name="in_norm")(x)
-        h = nn.silu(h)
+        h = GroupNorm32(name="in_norm")(x, silu=True)
         if self.up:
             h = jax.image.resize(h, (h.shape[0], h.shape[1] * 2, h.shape[2] * 2, h.shape[3]), "nearest")
             x = jax.image.resize(x, (x.shape[0], x.shape[1] * 2, x.shape[2] * 2, x.shape[3]), "nearest")
@@ -229,8 +253,9 @@ class ResBlock(nn.Module):
             h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
         else:
             h = h + emb_out
-            h = GroupNorm32(name="out_norm")(h)
-        h = nn.silu(h)
+            h = GroupNorm32(name="out_norm")(h, silu=True)
+        if self.use_scale_shift_norm:
+            h = nn.silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = Conv(self.out_channels, (3, 3), zero_init=True, dtype=self.dtype, name="out_conv")(h)

@@ -155,7 +155,11 @@ class UNetModel(nn.Module):
 
         self.conv_in = Conv(ch, (3, 3), dtype=self.dtype, name="conv_in")
         if cfg.addition_attention:
-            # reference: init_attn with fixed 8 heads x num_head_channels (inner 512)
+            # reference: init_attn with fixed 8 heads x num_head_channels (inner 512).
+            # MotionCtrl is the one camera variant whose patch cascade has no
+            # init_attn exclusion AND whose patched unet forward passes the
+            # camera payload into init_attn (motionctrl_modified_modules.py:69),
+            # so its cc_projection lives in init_attn blocks too.
             self.init_attn = TemporalTransformer(
                 in_channels=ch,
                 n_heads=8,
@@ -167,6 +171,8 @@ class UNetModel(nn.Module):
                 temporal_length=cfg.temporal_length,
                 use_camera=False,
                 epipolar=None,
+                camera_mode=cfg.camera_mode,
+                pose_dim=cfg.pose_dim,
                 dtype=self.dtype,
                 name="init_attn",
             )
@@ -317,7 +323,8 @@ class UNetModel(nn.Module):
         # conv_in is the reference's input_blocks[0]; init_attn follows it
         if cfg.addition_attention:
             h5 = h.reshape(b, t, *h.shape[1:])
-            h5 = self.init_attn(h5, camera=None, deterministic=deterministic)
+            init_cam = camera if cfg.camera_mode == "motionctrl" else None
+            h5 = self.init_attn(h5, camera=init_cam, deterministic=deterministic)
             h = h5.reshape(b * t, *h.shape[1:])
         hs.append(h)
 
@@ -340,8 +347,7 @@ class UNetModel(nn.Module):
             cam = self._camera_for(camera, ds)
             h = self._apply_block(layers, h, emb, context, b, cam, deterministic)
 
-        h = self.out_norm(h)
-        h = nn.silu(h)
+        h = self.out_norm(h, silu=True)
         h = self.out_conv(h)
         return h.reshape(b, t, hh, ww, cfg.out_channels).astype(jnp.float32)
 
@@ -369,7 +375,8 @@ class UNetModel(nn.Module):
         h = x.reshape(b * t, hh, ww, x.shape[-1]).astype(self.dtype)
         h = self.conv_in(h)
         if cfg.addition_attention:
-            h5 = self.init_attn(h.reshape(b, t, *h.shape[1:]), camera=None, deterministic=deterministic)
+            init_cam = camera if cfg.camera_mode == "motionctrl" else None
+            h5 = self.init_attn(h.reshape(b, t, *h.shape[1:]), camera=init_cam, deterministic=deterministic)
             h = h5.reshape(b * t, *h.shape[1:])
         hs = [h]
         for i, layers in enumerate(self.input_blocks):

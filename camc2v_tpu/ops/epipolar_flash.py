@@ -1,0 +1,354 @@
+"""Epipolar flash attention v2: mask computed IN-KERNEL from epipolar lines.
+
+The reference (and round-1 kernel) materialise the epipolar mask as
+(B, L, L) bools in HBM — 570 MB per ds8 mask at the flagship config — then
+stream it through the attention kernel (reference builds the same bools:
+model/camcontexti2v.py:200-271). Profiling (round 2) shows the mask pipeline
+costs ~10 ms/step in XLA mask-build fusions + layout copies on top of the
+DMA traffic inside the kernel.
+
+v2 exploits the mask's rank-3 structure:  dist(i, j) = |l_i . p_j|  where
+l_i = normalize(F[t1, t2] @ p_i) is the epipolar line of query pixel i in key
+frame t2 and p_j the key pixel coordinate. Inside the kernel each (q, k) tile
+recomputes its mask tile with one tiny (BQ, 3) x (3, BK) matmul — no L x L
+array ever exists.
+
+Tile skipping is EXACTLY safe: for a key tile, the pixel-center hull is an
+axis-aligned rectangle; |l . p| is linear in p, so min over the hull is 0 if
+the corner values change sign, else min |corner value|. hull-min >= thresh
+implies every discrete pixel is >= thresh, i.e. the tile is genuinely empty
+(the converse may process a tile whose mask then kills everything — correct,
+just not skipped). Empty tiles skip ALL compute via a scalar-prefetched
+bitmap, which is where the real win over the round-1 kernel comes from: the
+kernel is VPU-softmax bound, and typical epipolar masks light up only ~25-50%
+of 256-wide key tiles.
+
+Key layout contract: register tokens (always-visible learned context) sit at
+the END of the key axis, padded to a full BLOCK_K tile (attention is
+permutation-invariant in keys, so moving them from the reference's front
+position is numerically identical).
+
+Applicability: plain epipolar masks only (the flagship CamContextI2V /
+configs/models/camcontexti2v_256.yaml path: no hybrid-attention fallbacks, no
+only_self_pixel / current_frame_as_register variants). Those variants keep
+the materialised-mask kernel (ops/flash_attention.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from camc2v_tpu.ops.flash_attention import M_FLOOR, NEG_INF, _head_group
+
+BLOCK_Q = 256
+# Swept on a v5e (round 2): BK=1024 matches the materialised-mask kernel's
+# device time (10.9 vs 10.6 ms at flagship ds8) while deleting the whole mask
+# pipeline (~10 ms/step of XLA mask-build fusions + relayout copies + 570 MB
+# of HBM bools). Smaller tiles DO skip geometrically-empty tiles (34% at
+# BK=256) but the per-grid-step overhead outweighs the saved VPU work:
+# measured 14.5-14.9 ms at BK=256. Revisit with an in-kernel subtile loop.
+BLOCK_K = 1024
+
+
+def pix2coord(x, downsample):
+    """Pixel index -> continuous image coordinate (reference epipolar.py:32-35)."""
+    return x * downsample + downsample / 2.0 - 0.5
+
+
+def epipolar_lines(F: jax.Array, h: int, w: int, downsample: int) -> jax.Array:
+    """Normalised epipolar lines of every query pixel in every key frame.
+
+    F: (B, T1, T2, 3, 3) fundamental matrices (f32).
+    Returns lines (B, T1*h*w, T2, 3) f32 with ||l[:2]|| == 1 (NaN for F == 0,
+    which the in-kernel `dist < thresh` comparison maps to all-False — the
+    same semantics as the reference mask build).
+    """
+    F = F.astype(jnp.float32)
+    b, t1, t2 = F.shape[:3]
+    y = pix2coord(jnp.arange(h, dtype=jnp.float32), downsample)
+    x = pix2coord(jnp.arange(w, dtype=jnp.float32), downsample)
+    gy, gx = jnp.meshgrid(y, x, indexing="ij")
+    grid = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1).reshape(h * w, 3)  # (hw, 3)
+    # l[b, s, q, t, :] = F[b, s, t] @ p_q
+    lines = jnp.einsum("bstij,qj->bsqti", F, grid)
+    norm = jnp.linalg.norm(lines[..., :2], axis=-1, keepdims=True)
+    lines = lines / norm
+    return lines.reshape(b, t1 * h * w, t2, 3)
+
+
+def _tile_rect_corners(h: int, w: int, downsample: int, block_k: int):
+    """(tiles_per_frame, 4, 3) pixel-center hull corners of each key tile.
+
+    block_k consecutive raster pixels = block_k//w full image rows (block
+    sizes are chosen so w | block_k).
+    """
+    rows_per_tile = block_k // w
+    tpf = (h * w) // block_k
+    x0 = pix2coord(0.0, downsample)
+    x1 = pix2coord(float(w - 1), downsample)
+    corners = []
+    for s in range(tpf):
+        y0 = pix2coord(float(s * rows_per_tile), downsample)
+        y1 = pix2coord(float((s + 1) * rows_per_tile - 1), downsample)
+        corners.append([[x0, y0, 1.0], [x1, y0, 1.0], [x0, y1, 1.0], [x1, y1, 1.0]])
+    import numpy as np
+
+    return np.asarray(corners, dtype=np.float32)
+
+
+def epipolar_tile_map(
+    lines: jax.Array, t: int, h: int, w: int, downsample: int,
+    block_q: int = BLOCK_Q, block_k: int = BLOCK_K,
+) -> jax.Array:
+    """(B, nQ, nK+1) int32 bitmap of key tiles any query in the q-tile can see.
+
+    Exactly-safe: a tile is marked empty only when the continuous hull
+    distance of every query line is >= thresh, which lower-bounds the discrete
+    pixel distance. The trailing +1 tile is the register tile (always on).
+    """
+    b, lq, t2, _ = lines.shape
+    corners = jnp.asarray(_tile_rect_corners(h, w, downsample, block_k))  # (tpf, 4, 3)
+    vals = jnp.einsum("bqtc,krc->bqtkr", lines, corners)  # (B, Lq, T2, tpf, 4)
+    sign_change = (jnp.min(vals, -1) < 0) & (jnp.max(vals, -1) > 0)
+    min_abs = jnp.where(sign_change, 0.0, jnp.min(jnp.abs(vals), -1))  # NaN-safe: NaN rows -> False below
+    thresh = downsample * math.sqrt(2.0) / 2.0
+    hit = min_abs < thresh  # (B, Lq, T2, tpf); NaN < t == False
+    nq = lq // block_q
+    hit = hit.reshape(b, nq, block_q, t2 * ((h * w) // block_k)).any(axis=2)
+    reg = jnp.ones((b, nq, 1), bool)
+    return jnp.concatenate([hit, reg], axis=-1).astype(jnp.int32)
+
+
+def _v2_kernel(
+    tile_any_ref, q_ref, k_ref, v_ref, lines_ref, o_ref,
+    m_scratch, l_scratch, acc_scratch,
+    *, nk, g, block_k, w, downsample, thresh, num_registers, tiles_per_frame,
+):
+    bg = pl.program_id(0)
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        m_scratch[:] = jnp.full_like(m_scratch, M_FLOOR)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    @pl.when(tile_any_ref[bg // g, qi, ki] != 0)
+    def _():
+        q = q_ref[0]  # (Hb, BQ, D) — scale pre-folded
+        kb = k_ref[0]
+        vb = v_ref[0]
+        s = jax.lax.dot_general(
+            q, kb, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # (Hb, BQ, BK)
+
+        is_register_tile = ki == nk - 1
+        # key-pixel coordinates of this tile (raster order within the frame);
+        # 2-D iota — Mosaic does not lower 1-D iotas correctly
+        kidx = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+        kfree = (ki % tiles_per_frame) * block_k + kidx
+        px = pix2coord((kfree % w).astype(jnp.float32), downsample)  # (1, BK)
+        py = pix2coord((kfree // w).astype(jnp.float32), downsample)
+        lines = lines_ref[0, 0]  # (BQ, 3)
+        # dist = |a x + b y + c| per (q, k)
+        dist = jnp.abs(
+            lines[:, 0:1] * px + lines[:, 1:2] * py + lines[:, 2:3]
+        )  # (BQ, BK)
+        # Mosaic mis-lowers vector selects that mix a broadcast scalar
+        # predicate with i1 vectors — blend the two penalties arithmetically
+        reg_flag = is_register_tile.astype(jnp.float32)  # traced scalar 0/1
+        pen_mask = jnp.where(dist < thresh, 0.0, NEG_INF)  # (BQ, BK)
+        pen_reg = jnp.where(kidx < num_registers, 0.0, NEG_INF)  # (1, BK)
+        pen = pen_mask * (1.0 - reg_flag) + jnp.broadcast_to(pen_reg, pen_mask.shape) * reg_flag
+        s = s + pen[None]
+
+        m_prev = m_scratch[:]
+        m_cur = jnp.max(s, axis=2, keepdims=True)
+        m_new = jnp.maximum(jnp.maximum(m_prev, m_cur), M_FLOOR)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_scratch[:] = alpha * l_scratch[:] + jnp.sum(p, axis=2, keepdims=True)
+        acc_scratch[:] = acc_scratch[:] * alpha + jax.lax.dot_general(
+            p.astype(vb.dtype), vb, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        m_scratch[:] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _():
+        l = l_scratch[:]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scratch[:] / safe_l).astype(o_ref.dtype)
+
+
+def _epipolar_flash_fwd_impl(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    lines: jax.Array,
+    *,
+    t: int,
+    h: int,
+    w: int,
+    downsample: int,
+    num_registers: int,
+    scale: float,
+    block_q: int = BLOCK_Q,
+    block_k: int = BLOCK_K,
+) -> jax.Array:
+    """Forward epipolar attention with in-kernel masks.
+
+    q: (B, Lq=t*h*w, H, D).
+    k, v: (B, Lk, H, D) with Lk = t*h*w + pad; the LAST pad block holds the
+      register tokens (first `num_registers` of it), zero-padded to a full
+      block_k tile by the caller.
+    lines: (B, Lq, t, 3) from `epipolar_lines`.
+    """
+    b, lq, heads, d = q.shape
+    lk = k.shape[1]
+    assert lq == t * h * w and lk == lq + block_k, (lq, lk, t, h, w, block_k)
+    assert (h * w) % block_k == 0 and lq % block_q == 0
+    nq = lq // block_q
+    nk = lk // block_k
+    tiles_per_frame = (h * w) // block_k
+    thresh = downsample * math.sqrt(2.0) / 2.0
+
+    tile_any = epipolar_tile_map(lines, t, h, w, downsample, block_q, block_k)
+
+    hb = _head_group(heads)
+    g = heads // hb
+    qt = (q * jnp.asarray(scale, q.dtype)).transpose(0, 2, 1, 3).reshape(b * g, hb, lq, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * g, hb, lk, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * g, hb, lk, d)
+
+    q_spec = pl.BlockSpec((1, hb, block_q, d), lambda bg, qi, ki, *_: (bg, 0, qi, 0))
+    k_spec = pl.BlockSpec((1, hb, block_k, d), lambda bg, qi, ki, *_: (bg, 0, ki, 0))
+    o_spec = pl.BlockSpec((1, hb, block_q, d), lambda bg, qi, ki, *_: (bg, 0, qi, 0))
+    # lines arrive (B, Lq, T, 3); transpose to (B, T, Lq, 3) so the sliced
+    # block's last two dims (BQ, 3) satisfy Mosaic's (8, 128)-or-full rule.
+    # Block = the lines of this q-tile in the key frame of tile ki (clamped
+    # into range for the register tile, where the kernel ignores it).
+    lines_t = jnp.swapaxes(lines.astype(jnp.float32), 1, 2)
+    lines_spec = pl.BlockSpec(
+        (1, 1, block_q, 3),
+        lambda bg, qi, ki, *_, _tpf=tiles_per_frame, _t=t: (
+            bg // g, jnp.minimum(ki // _tpf, _t - 1), qi, 0
+        ),
+    )
+    scratch = [
+        pltpu.VMEM((hb, block_q, 1), jnp.float32),
+        pltpu.VMEM((hb, block_q, 1), jnp.float32),
+        pltpu.VMEM((hb, block_q, d), jnp.float32),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * g, nq, nk),
+        in_specs=[q_spec, k_spec, k_spec, lines_spec],
+        out_specs=o_spec,
+        scratch_shapes=scratch,
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _v2_kernel, nk=nk, g=g, block_k=block_k, w=w, downsample=downsample,
+            thresh=thresh, num_registers=num_registers, tiles_per_frame=tiles_per_frame,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * g, hb, lq, d), q.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(tile_any, qt, kt, vt, lines_t)
+    return out.reshape(b, heads, lq, d).transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _epipolar_flash(q, k, v, lines, static):
+    return _epipolar_flash_fwd_impl(q, k, v, lines, **dict(static))
+
+
+def _epi_fwd_rule(q, k, v, lines, static):
+    return _epipolar_flash(q, k, v, lines, static), (q, k, v, lines)
+
+
+def _epi_bwd_rule(static, res, gout):
+    q, k, v, lines = res
+    cfg = dict(static)
+    t, h, w, ds = cfg["t"], cfg["h"], cfg["w"], cfg["downsample"]
+    num_registers, scale = cfg["num_registers"], cfg["scale"]
+    block_k = cfg.get("block_k", BLOCK_K)
+    lk = k.shape[1]
+
+    def f(q, k, v):
+        # chunked exact recompute with the mask materialised per q-chunk —
+        # O(L * chunk) memory, exact gradients (mirrors flash_attention's VJP)
+        b, lq, heads, d = q.shape
+        chunk = BLOCK_Q
+        nq = lq // chunk
+        reg = jnp.arange(lk - (t * h * w)) < num_registers
+
+        def one_chunk(args):
+            qc, lc = args  # (b, chunk, h, d), (b, chunk, t, 3)
+            mc = materialize_mask(lc, t, h, w, ds)  # (b, chunk, t*h*w)
+            mc = jnp.concatenate(
+                [mc, jnp.broadcast_to(reg[None, None], (b, chunk, reg.shape[0]))], axis=-1
+            )
+            s = jnp.einsum("bqhd,bkhd->bhqk", qc, k, preferred_element_type=jnp.float32) * scale
+            s = jnp.where(mc[:, None], s, NEG_INF)
+            p = jax.nn.softmax(s, axis=-1)
+            any_valid = jnp.any(mc, axis=-1)[:, None, :, None]
+            p = jnp.where(any_valid, p, 0.0)
+            return jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v)
+
+        qs = q.reshape(b, nq, chunk, heads, d).transpose(1, 0, 2, 3, 4)
+        ls = lines.reshape(b, nq, chunk, t, 3).transpose(1, 0, 2, 3, 4)
+        out = jax.lax.map(one_chunk, (qs, ls))
+        return out.transpose(1, 0, 2, 3, 4).reshape(b, lq, heads, d)
+
+    _, vjp = jax.vjp(f, q, k, v)
+    dq, dk, dv = vjp(gout)
+    return dq, dk, dv, jnp.zeros_like(lines)
+
+
+_epipolar_flash.defvjp(_epi_fwd_rule, _epi_bwd_rule)
+
+
+def epipolar_flash_attention(
+    q, k, v, lines, *, t, h, w, downsample, num_registers,
+    scale: Optional[float] = None, block_q: int = BLOCK_Q, block_k: int = BLOCK_K,
+):
+    """Differentiable entry point (see _epipolar_flash_fwd_impl for shapes)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    static = tuple(
+        sorted(
+            dict(
+                t=t, h=h, w=w, downsample=downsample, num_registers=num_registers,
+                scale=float(scale), block_q=block_q, block_k=block_k,
+            ).items()
+        )
+    )
+    return _epipolar_flash(q, k, v, lines, static)
+
+
+def materialize_mask(lines: jax.Array, t: int, h: int, w: int, downsample: int) -> jax.Array:
+    """(B, Lq, t*h*w) bool mask from lines — the v2 semantics in plain XLA.
+
+    Used by tests and by the O(L*chunk) backward recompute.
+    """
+    b, lq = lines.shape[:2]
+    y = pix2coord(jnp.arange(h, dtype=jnp.float32), downsample)
+    x = pix2coord(jnp.arange(w, dtype=jnp.float32), downsample)
+    gy, gx = jnp.meshgrid(y, x, indexing="ij")
+    grid = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1).reshape(h * w, 3)
+    dist = jnp.abs(jnp.einsum("bqtc,kc->bqtk", lines, grid))
+    thresh = downsample * math.sqrt(2.0) / 2.0
+    return (dist < thresh).reshape(b, lq, t * h * w)

@@ -1,0 +1,143 @@
+"""Fused GroupNorm(+SiLU) Pallas kernel for TPU.
+
+XLA compiles the UNet's ~60 GroupNorms into a convert+reduce fusion (f32
+stats) followed by a separate normalise fusion — profiling shows ~25 ms of a
+195 ms flagship denoise step spent in `convert_reduce_fusion` ops running at
+~20 GB/s effective bandwidth (vs ~100 us rooflines). This kernel does the
+whole thing in ONE HBM round trip: each grid step loads one sample's full
+(H*W, C) feature map into VMEM (640 KB at the flagship ds8 level), computes
+the per-group mean/var in f32 on-chip, normalises, applies scale/bias and the
+optional SiLU, and writes back.
+
+Matches GroupNorm32 semantics (reference lvdm/basics.py:78-80: fp32 stats,
+output cast back): eps 1e-5, groups along the channel axis, stats over
+(spatial, channels-in-group).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# one sample's (H*W, C) map must fit comfortably in VMEM alongside the output
+_MAX_VMEM_BYTES = 6 * 1024 * 1024
+
+
+def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups, eps, silu):
+    x = x_ref[0].astype(jnp.float32)  # (HW, C)
+    hw, c = x.shape
+    cg = c // num_groups
+    xg = x.reshape(hw, num_groups, cg)
+    mean = jnp.mean(xg, axis=(0, 2), keepdims=True)  # (1, G, 1)
+    var = jnp.mean((xg - mean) ** 2, axis=(0, 2), keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    y = ((xg - mean) * inv).reshape(hw, c)
+    y = y * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(jnp.float32)
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def group_norm_plain(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    *,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    silu: bool = False,
+) -> jax.Array:
+    """Plain-XLA twin of the kernel (fallback path + VJP recompute)."""
+    orig_dtype = x.dtype
+    n, c = x.shape[0], x.shape[-1]
+    xf = x.reshape(n, -1, num_groups, c // num_groups).astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=(1, 3), keepdims=True)
+    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(n, -1, c)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.reshape(x.shape).astype(orig_dtype)
+
+
+def _fused_impl(x, scale, bias, num_groups, eps, silu):
+    orig_shape = x.shape
+    n, c = x.shape[0], x.shape[-1]
+    hw = 1
+    for s in x.shape[1:-1]:
+        hw *= s
+    xf = x.reshape(n, hw, c)
+
+    out = pl.pallas_call(
+        functools.partial(_gn_kernel, num_groups=num_groups, eps=eps, silu=silu),
+        out_shape=jax.ShapeDtypeStruct((n, hw, c), x.dtype),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0)),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        interpret=jax.default_backend() == "cpu",
+    )(xf, scale, bias)
+    return out.reshape(orig_shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _group_norm(x, scale, bias, num_groups, eps, silu):
+    return _fused_impl(x, scale, bias, num_groups, eps, silu)
+
+
+def _gn_fwd(x, scale, bias, num_groups, eps, silu):
+    return _group_norm(x, scale, bias, num_groups, eps, silu), (x, scale, bias)
+
+
+def _gn_bwd(num_groups, eps, silu, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda x, s, b: group_norm_plain(x, s, b, num_groups=num_groups, eps=eps, silu=silu),
+        x, scale, bias,
+    )
+    return vjp(g)
+
+
+_group_norm.defvjp(_gn_fwd, _gn_bwd)
+
+
+def group_norm_fused(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    *,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    silu: bool = False,
+) -> jax.Array:
+    """GroupNorm over (N, ..., C) with f32 stats, optional fused SiLU.
+
+    Stats are per (sample, group) over all spatial positions and the group's
+    channels — identical to flax/torch GroupNorm. Returns x.dtype.
+    Differentiable (backward recomputes through the plain-XLA twin).
+    """
+    return _group_norm(x, scale, bias, num_groups, eps, silu)
+
+
+def group_norm_supported(x: jax.Array, num_groups: int) -> bool:
+    c = x.shape[-1]
+    if c % num_groups != 0:
+        return False
+    hw = 1
+    for s in x.shape[1:-1]:
+        hw *= s
+    # in+out in VMEM (x, y in input dtype + f32 working copy)
+    bytes_needed = hw * c * (x.dtype.itemsize * 2 + 4)
+    if bytes_needed > _MAX_VMEM_BYTES:
+        return False
+    # lane-dim alignment: C must tile to 128 lanes; spatial to 8 sublanes
+    return c % 128 == 0 and hw % 8 == 0

@@ -105,9 +105,9 @@ _SUBMODULE_RULES = [
     (r"temopral_conv\.conv1\.2\.(weight|bias)$", r"temporal_conv/conv1_conv/\1"),
     (r"temopral_conv\.conv([234])\.0\.(weight|bias)$", r"temporal_conv/conv\1_norm/GroupNorm_0/\2"),
     (r"temopral_conv\.conv([234])\.3\.(weight|bias)$", r"temporal_conv/conv\1_conv/\2"),
-    # Up/Downsample
-    (r"^(in_\d+_down)\.op\.(weight|bias)$", r"\1/\2"),
-    (r"^(out_\d+_up)\.conv\.(weight|bias)$", r"\1/conv/\2"),
+    # Up/Downsample keep their child names (op / conv) — default '.'->'/' applies
+    # final out GroupNorm ('out.0' in the reference Sequential)
+    (r"^out_norm\.(weight|bias)$", r"out_norm/GroupNorm_0/\1"),
     # transformer containers
     (r"transformer_blocks\.(\d+)\.", r"block_\1/"),
     (r"\bnorm\.(weight|bias)$", r"norm/GroupNorm_0/\1"),
@@ -223,6 +223,11 @@ def _leaf_name(flax_key: str, torch_rank: int) -> tuple[str, bool]:
 def _transform(arr: np.ndarray) -> np.ndarray:
     if arr.ndim == 2:
         return arr.T
+    if arr.ndim == 3 and arr.shape[-1] == 1:
+        # Conv1d(k=1) == Linear. The reference's init_attn TemporalTransformer
+        # is built without use_linear (openaimodel3d.py:389-402), so its
+        # proj_in/proj_out are (out, in, 1) conv kernels.
+        return arr[:, :, 0].T
     if arr.ndim == 4:
         return arr.transpose(2, 3, 1, 0)
     if arr.ndim == 5:

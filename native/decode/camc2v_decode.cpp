@@ -273,4 +273,23 @@ int vd_pool_fetch(void* pool, long ticket, unsigned char* out_rgb, int* out_h, i
   return 0;
 }
 
+// Blocks until the job completes and reports frame dims WITHOUT consuming the
+// job, so the caller can size the destination buffer before vd_pool_fetch
+// (clip dimensions vary per video in RealEstate10K). Returns 0 ok, <0 error
+// (an errored job is consumed here).
+int vd_pool_dims(void* pool, long ticket, int* out_h, int* out_w) {
+  auto* p = (DecodePool*)pool;
+  std::shared_ptr<PoolJob> job;
+  {
+    std::unique_lock<std::mutex> lock(p->mu);
+    p->cv_done.wait(lock, [&] { return p->done.count(ticket) > 0; });
+    job = p->done[ticket];
+    if (job->status < 0) p->done.erase(ticket);
+  }
+  if (job->status < 0) return job->status;
+  *out_h = job->h;
+  *out_w = job->w;
+  return 0;
+}
+
 }  // extern "C"

@@ -24,7 +24,7 @@ UNET_CFG = UNetConfig()  # flagship structure
         ("model.diffusion_model.input_blocks.1.1.transformer_blocks.0.attn2.alpha", "unet/in_0_spatial/block_0/attn2/alpha"),
         ("model.diffusion_model.input_blocks.1.2.transformer_blocks.0.pluker_projection.weight", "unet/in_0_temporal/block_0/pluker_projection/weight"),
         ("model.diffusion_model.input_blocks.1.2.transformer_blocks.0.epipolar.epipolar_attn.to_out.0.weight", "unet/in_0_temporal/block_0/epipolar/epipolar_attn/to_out/weight"),
-        ("model.diffusion_model.input_blocks.3.0.op.weight", "unet/in_2_down/weight"),
+        ("model.diffusion_model.input_blocks.3.0.op.weight", "unet/in_2_down/op/weight"),
         ("model.diffusion_model.middle_block.2.transformer_blocks.0.ff.net.0.proj.weight", "unet/mid_temporal/block_0/ff/geglu/proj/weight"),
         # level 3 (ds 8, no attention): upsample is layer 1 of block 2
         ("model.diffusion_model.output_blocks.2.1.conv.weight", "unet/out_2_up/conv/weight"),

@@ -158,3 +158,64 @@ def test_tokenizer_hook(dataset_dir):
     ds = _dataset(dataset_dir, tokenizer=tok)
     s = ds[0]
     np.testing.assert_array_equal(s["caption_tokens"], np.arange(7))
+
+
+def test_prefetch_loader_yields_full_epoch(dataset_dir):
+    """num_workers>0 pipelines plan->decode->finish; same batch count + shapes
+    as the sync path (content order differs only via shuffling)."""
+    ds = _dataset(dataset_dir, additional_cond_frames="random_full", num_additional_cond_frames=[1, 2])
+    dl = DataLoader(ds, batch_size=2, shuffle=False, drop_last=False, num_workers=2)
+    batches = list(dl)
+    assert len(batches) == len(dl)
+    for b in batches:
+        assert b["video"].shape[1:] == (8, 64, 64, 3)
+        assert np.isfinite(b["video"]).all()
+    dl.close()
+
+
+@pytest.fixture(scope="module")
+def mp4_dataset_dir(tmp_path_factory):
+    """Real h264/mp4 fixtures so the native libav DecodePool path runs."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("re10k_mp4")
+    (root / "clips").mkdir()
+    (root / "meta").mkdir()
+    names = [f"vid{i}" for i in range(3)]
+    rng = np.random.default_rng(0)
+    for name in names:
+        path = str(root / "clips" / f"{name}.mp4")
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (W_SRC, H_SRC))
+        assert vw.isOpened()
+        for i in range(N_FRAMES):
+            frame = rng.integers(0, 255, (H_SRC, W_SRC, 3), dtype=np.uint8)
+            vw.write(frame)
+        vw.release()
+        with open(root / "meta" / f"{name}.txt", "w") as f:
+            f.write("http://example.com/video\n")
+            for i in range(N_FRAMES):
+                f.write(_make_pose_line(i) + "\n")
+    with open(root / "list.txt", "w") as f:
+        f.write("\n".join(names) + "\n")
+    with open(root / "captions.json", "w") as f:
+        json.dump({f"{n}.mp4": [f"a room {n}"] for n in names}, f)
+    return root
+
+
+def test_native_pool_prefetch_mp4(mp4_dataset_dir):
+    """End-to-end: DecodePool-backed prefetch over real mp4 clips."""
+    pytest.importorskip("camc2v_tpu.data._native_decode")
+    import time
+
+    ds = _dataset(mp4_dataset_dir, video_suffix=".mp4")
+    dl = DataLoader(ds, batch_size=2, shuffle=True, drop_last=False, num_workers=3)
+    assert dl._pool is not None
+    t0 = time.perf_counter()
+    batches = list(dl)
+    dt = time.perf_counter() - t0
+    assert len(batches) == 2  # 3 clips, bs 2, keep last
+    for b in batches:
+        assert np.isfinite(b["video"]).all()
+        assert b["video"].min() >= -1.0 and b["video"].max() <= 1.0
+    print(f"prefetch mp4 epoch: {dt*1000:.1f} ms")
+    dl.close()

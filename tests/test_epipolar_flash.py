@@ -1,0 +1,205 @@
+"""Epipolar flash-attention v2 (in-kernel mask) correctness tests.
+
+The kernel must reproduce the materialised-mask path bit-for-bit (up to f32
+accumulation): same geometry -> same mask -> same attention output, plus the
+exactly-safe tile-skip property (a skipped tile is provably empty).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from camc2v_tpu.camera import geometry as G
+from camc2v_tpu.nn.epipolar import Epipolar, EpipolarConfig, plain_epipolar
+from camc2v_tpu.ops.epipolar_flash import (
+    epipolar_flash_attention,
+    epipolar_lines,
+    epipolar_tile_map,
+    materialize_mask,
+)
+from camc2v_tpu.ops.flash_attention import flash_attention
+
+B, T, H, W, DS, R = 1, 4, 8, 8, 8, 4
+HW = H * W
+LQ = T * HW
+BQ = BK = 64  # small tiles so the tiny geometry tiles cleanly
+
+
+def _realistic_F(b=B, t=T, seed=0):
+    """F matrices from an actual camera trajectory (not random noise)."""
+    rng = np.random.default_rng(seed)
+    K = np.array([[H * DS, 0, H * DS / 2], [0, W * DS, W * DS / 2], [0, 0, 1]], np.float32)
+    c2w = np.tile(np.eye(4, dtype=np.float32), (b, t, 1, 1))
+    for i in range(t):
+        c2w[:, i, 0, 3] = 0.4 * i + 0.05
+        c2w[:, i, 1, 3] = 0.1 * i
+        c2w[:, i, 2, 3] = -0.15 * i
+    pairs = G.relative_c2w_pairs(jnp.asarray(c2w))
+    Rm, tv = pairs[..., :3, :3], pairs[..., :3, 3:4]
+    tv = G.add_small_perturbation(tv, jax.random.key(1))
+    return G.fundamental_matrix(jnp.broadcast_to(jnp.asarray(K), (b, t, t, 3, 3)), Rm, tv)
+
+
+def _qkv(seed=0, heads=2, d=64):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(B, LQ, heads, d)), jnp.float32)
+    kf = jnp.asarray(rng.normal(size=(B, LQ, heads, d)), jnp.float32)
+    vf = jnp.asarray(rng.normal(size=(B, LQ, heads, d)), jnp.float32)
+    kreg = jnp.asarray(rng.normal(size=(B, R, heads, d)), jnp.float32)
+    vreg = jnp.asarray(rng.normal(size=(B, R, heads, d)), jnp.float32)
+    pad = BK - R
+    k = jnp.concatenate([kf, kreg, jnp.zeros((B, pad, heads, d))], axis=1)
+    v = jnp.concatenate([vf, vreg, jnp.zeros((B, pad, heads, d))], axis=1)
+    return q, k, v, kreg, vreg, kf, vf
+
+
+def test_lines_match_reference_mask_build():
+    """materialize_mask(lines) == geometry.epipolar_mask (plain config)."""
+    F = _realistic_F()
+    lines = epipolar_lines(F, H, W, DS)
+    mask_v2 = materialize_mask(lines, T, H, W, DS)
+    mask_ref = G.epipolar_mask(F, T, H, W, DS, EpipolarConfig(origin_h=H * DS, origin_w=W * DS))
+    np.testing.assert_array_equal(np.asarray(mask_v2), np.asarray(mask_ref))
+
+
+def test_kernel_matches_materialized_path():
+    F = _realistic_F()
+    lines = epipolar_lines(F, H, W, DS)
+    q, k, v, *_ = _qkv()
+    out2 = epipolar_flash_attention(
+        q, k, v, lines, t=T, h=H, w=W, downsample=DS, num_registers=R, block_q=BQ, block_k=BK
+    )
+    mask = materialize_mask(lines, T, H, W, DS)
+    regmask = jnp.broadcast_to((jnp.arange(BK) < R)[None, None], (B, LQ, BK))
+    out1 = flash_attention(q, k, v, mask=jnp.concatenate([mask, regmask], axis=-1))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out1), atol=2e-6)
+
+
+def test_tile_skip_is_exactly_safe():
+    """A tile marked empty by the hull bound must be empty in the dense mask."""
+    for seed in range(3):
+        F = _realistic_F(seed=seed)
+        lines = epipolar_lines(F, H, W, DS)
+        tm = np.asarray(epipolar_tile_map(lines, T, H, W, DS, BQ, BK))
+        mask = np.asarray(materialize_mask(lines, T, H, W, DS))
+        dense_any = mask.reshape(B, LQ // BQ, BQ, LQ // BK, BK).any(axis=(2, 4))
+        violations = (~tm[..., :-1].astype(bool)) & dense_any
+        assert violations.sum() == 0
+        assert tm[..., -1].all()  # register tile always visible
+
+
+def test_zero_F_diagonal_all_masked_rows():
+    """F == 0 pairs (zero translation, no perturbation) -> NaN lines -> empty
+    mask rows -> kernel emits zeros for those queries (matches the v1 kernel's
+    fully-masked-row guard)."""
+    F = _realistic_F()
+    eye = np.eye(T, dtype=bool)
+    F = jnp.where(jnp.asarray(eye)[None, :, :, None, None], 0.0, F)
+    lines = epipolar_lines(F, H, W, DS)
+    q, k, v, *_ = _qkv()
+    out2 = epipolar_flash_attention(
+        q, k, v, lines, t=T, h=H, w=W, downsample=DS, num_registers=R, block_q=BQ, block_k=BK
+    )
+    assert np.isfinite(np.asarray(out2)).all()
+    mask = materialize_mask(lines, T, H, W, DS)
+    # diagonal blocks are all-False
+    mb = np.asarray(mask).reshape(B, T, HW, T, HW)
+    assert not mb[:, np.arange(T), :, np.arange(T), :].any()
+
+
+def test_epipolar_module_F_path_matches_mask_path():
+    """Full Epipolar module: F payload (v2) == masks payload (v1), same params."""
+    cfg = EpipolarConfig(
+        origin_h=H * DS, origin_w=W * DS, attention_resolution=(1,), num_register_tokens=R
+    )
+    assert plain_epipolar(cfg)
+    F = _realistic_F()
+    rng = np.random.default_rng(5)
+    feats = jnp.asarray(rng.normal(size=(B, T, H, W, 128)), jnp.float32)
+    module = Epipolar(config=cfg, query_dim=128, heads=2)
+
+    masks = G.build_epipolar_masks(F, T, (H, W), cfg)
+    params = module.init(jax.random.key(0), feats, masks=masks)
+    out_mask = module.apply(params, feats, masks=masks)
+    out_F = module.apply(params, feats, F=F)
+    np.testing.assert_allclose(np.asarray(out_F), np.asarray(out_mask), atol=2e-5)
+
+
+def test_gradients_flow_through_v2():
+    F = _realistic_F()
+    lines = epipolar_lines(F, H, W, DS)
+    q, k, v, *_ = _qkv()
+
+    def loss(q, k, v):
+        out = epipolar_flash_attention(
+            q, k, v, lines, t=T, h=H, w=W, downsample=DS, num_registers=R,
+            block_q=BQ, block_k=BK,
+        )
+        return jnp.sum(out**2)
+
+    val, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(q, k, v)
+    assert np.isfinite(float(val))
+    for gr in grads:
+        assert np.isfinite(np.asarray(gr)).all()
+        assert float(jnp.abs(gr).max()) > 0
+
+
+class TestGroupNormFused:
+    """ops/groupnorm.py vs flax nn.GroupNorm reference numerics."""
+
+    def test_matches_flax_groupnorm(self):
+        import flax.linen as nn
+
+        from camc2v_tpu.ops.groupnorm import group_norm_fused, group_norm_plain
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(4, 16, 16, 128)), jnp.float32) * 3 + 1
+        scale = jnp.asarray(rng.normal(size=(128,)), jnp.float32)
+        bias = jnp.asarray(rng.normal(size=(128,)), jnp.float32)
+
+        gn = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32)
+        ref = gn.apply({"params": {"scale": scale, "bias": bias}}, x)
+
+        for fn in (group_norm_plain, group_norm_fused):
+            out = fn(x, scale, bias, num_groups=32)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+        out_silu = group_norm_fused(x, scale, bias, num_groups=32, silu=True)
+        np.testing.assert_allclose(
+            np.asarray(out_silu), np.asarray(ref) * jax.nn.sigmoid(np.asarray(ref)), atol=2e-5
+        )
+
+    def test_bf16_input_f32_stats(self):
+        from camc2v_tpu.ops.groupnorm import group_norm_fused
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, 128)), jnp.bfloat16)
+        scale = jnp.ones((128,), jnp.float32)
+        bias = jnp.zeros((128,), jnp.float32)
+        out = group_norm_fused(x, scale, bias, num_groups=32)
+        assert out.dtype == jnp.bfloat16
+        assert np.isfinite(np.asarray(out, np.float32)).all()
+
+    def test_gradients(self):
+        from camc2v_tpu.ops.groupnorm import group_norm_fused, group_norm_plain
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, 128)), jnp.float32)
+        scale = jnp.asarray(rng.normal(size=(128,)), jnp.float32)
+        bias = jnp.asarray(rng.normal(size=(128,)), jnp.float32)
+
+        g_fused = jax.grad(lambda *a: jnp.sum(group_norm_fused(*a, num_groups=32, silu=True) ** 2), argnums=(0, 1, 2))(x, scale, bias)
+        g_plain = jax.grad(lambda *a: jnp.sum(group_norm_plain(*a, num_groups=32, silu=True) ** 2), argnums=(0, 1, 2))(x, scale, bias)
+        for gf, gp in zip(g_fused, g_plain):
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gp), atol=1e-4)
+
+    def test_groupnorm32_module_param_paths_unchanged(self):
+        from camc2v_tpu.nn.layers import GroupNorm32
+
+        m = GroupNorm32()
+        p = m.init(jax.random.key(0), jnp.zeros((1, 4, 4, 64)))
+        flat = jax.tree_util.tree_flatten_with_path(p["params"])[0]
+        paths = {"/".join(str(k.key) for k in path) for path, _ in flat}
+        assert paths == {"GroupNorm_0/scale", "GroupNorm_0/bias"}
