@@ -102,9 +102,14 @@ def main():
     state = TR.init_train_state(tr_cfg, params, world_batch_scale=n_dev * bs)
 
     lightning = cfg.get("lightning", {})
+    from camc2v_tpu.main.loggers import build_sinks
+
+    # reference: logger section -> wandb/tensorboard/CSV (utils_train.py:111-150);
+    # zero-egress default is CSV + tensorboard, wandb honoured in offline mode
+    sinks = build_sinks(lightning.get("logger"), dirs["loginfo"], run_name=name)
     cbs = [
         CB.ProgressPrinter(interval=5 if args.debug else 20, max_steps=tr_cfg.max_steps),
-        CB.MetricsLogger(dirs["loginfo"], interval=1 if args.debug else 50),
+        CB.MetricsLogger(dirs["loginfo"], interval=1 if args.debug else 50, sinks=sinks),
         CB.DeviceMonitor(interval=10 if args.debug else 100),
     ]
     if args.debug:
@@ -132,6 +137,7 @@ def main():
                 enable_camera_condition=li_kwargs.get("enable_camera_condition", True),
             ),
             num_batches=batch_logger_cfg.get("num_batches", 1),
+            sinks=sinks,
         )
 
         class _StateTap(CB.Callback):

@@ -1,19 +1,26 @@
-"""Benchmark: flagship UNet denoise throughput on one TPU chip.
+"""Benchmark: flagship CamContextI2V generation throughput on one TPU chip.
 
-Measures the hot path of the 25-step DDIM generation loop — one
-camera-conditioned CamContextI2V UNet evaluation at the production recipe
-(256x256 video, 16 frames, 32x32x4 latents, fused CFG batch of 2, epipolar
-masks at ds {8,16,32,64}, Plücker feature pyramid) in bfloat16 — and reports
-videos/min/chip at 25 DDIM steps.
+Two measurements:
+  * headline (default): END-TO-END 25-step DDIM generation — conditioning
+    assembly (VAE encode, CLIP text+image, resampler, adaptor, camera
+    condition) + the fused-CFG denoise scan + VAE decode, one jit, REALIZED
+    bf16 weights. Metric: videos/min/chip.
+  * --unet-only: one fused-CFG UNet denoise evaluation (the hot op of the
+    loop), reported as unet_step_ms.
 
-vs_baseline: the reference (PyTorch + xformers, samplers/ddim.py 25-step loop,
-2 UNet evals/step) has NO published throughput (BASELINE.json published: {}).
-We use an ESTIMATED reference rate of 6.0 videos/min on one A100-80GB
-(~200 ms/UNet-eval fused-equivalent, typical for a 1.4B-param 16-frame
-DynamiCrafter UNet at 256px) as the provisional denominator until a measured
-number exists. The north-star is 5x this estimate.
+vs_baseline derivation (the reference publishes NO throughput numbers —
+BASELINE.json published: {}): we derive a reference rate from the measured
+model FLOPs. One fused-CFG UNet eval is ~29 TFLOP (XLA cost analysis at the
+production shape). The reference runs the same maths in PyTorch+xformers on
+an A100-80GB (312 TFLOP/s bf16): at a generous 35% MFU — high for a
+conv+attention UNet with per-step Python dispatch (samplers/ddim.py:169-238
+crosses host<->device every step) — that is 29e12/(312e12*0.35) = 266 ms per
+denoise step, 25 steps = 6.6 s/video => ~8.6 videos/min BEFORE VAE/CLIP/mask
+overheads. We keep the round-1 denominator of 6.0 videos/min (equivalent to
+~32% MFU with those overheads) as the reference estimate; the north-star is
+5x it.
 
-Usage: python bench.py [--tiny] [--steps N]
+Usage: python bench.py [--unet-only] [--tiny] [--iters N] [--steps N]
 """
 
 from __future__ import annotations
@@ -28,80 +35,177 @@ REFERENCE_VIDEOS_PER_MIN_ESTIMATE = 6.0
 DDIM_STEPS = 25
 
 
-def bench_flagship(n_iters: int = 10, tiny: bool = False):
+def _realized_params(shapes, seed=0):
+    """Random-normal bf16 weights (zeros would flatter HBM compression)."""
     import jax
     import jax.numpy as jnp
 
-    if tiny:
-        jax.config.update("jax_platforms", "cpu")
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    rng = np.random.default_rng(seed)
+    out = []
+    for s in leaves:
+        arr = rng.standard_normal(s.shape, dtype=np.float32) * 0.02
+        dtype = jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype
+        out.append(jnp.asarray(arr, dtype))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def _time(fn, *args, iters):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def bench_unet(n_iters: int, inner_steps: int = 10):
+    """Denoise-step time measured as a CHAINED loop inside ONE jit.
+
+    The production sampler is a single lax.scan program, so per-dispatch host
+    overhead (~40 ms through this environment's remote-TPU tunnel) does not
+    exist there — timing isolated jit calls would overstate the step cost.
+    """
+    import jax
+    import jax.numpy as jnp
 
     from camc2v_tpu.nn.unet3d import UNetModel
+    from camc2v_tpu.presets import camcontexti2v_256
     from __graft_entry__ import _flagship_unet_inputs
 
-    if tiny:
-        from camc2v_tpu.nn.epipolar import EpipolarConfig
-        from camc2v_tpu.nn.unet3d import UNetConfig
+    cfg = camcontexti2v_256()
+    unet = UNetModel(cfg.unet, dtype=jnp.bfloat16)
+    x, t, ctx, fs, camera = _flagship_unet_inputs(batch=2, dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(lambda: unet.init(jax.random.key(0), x, t, ctx, fs, camera))
+    params = _realized_params(shapes)
 
-        epi = EpipolarConfig(origin_h=64, origin_w=64, attention_resolution=(2, 1))
-        cfg = UNetConfig(
-            in_channels=8, out_channels=4, model_channels=32, num_res_blocks=1,
-            attention_resolutions=(2, 1), channel_mult=(1, 2), num_head_channels=8,
-            context_dim=16, temporal_length=4, text_context_len=7, img_tokens_per_frame=2,
-            image_cross_attention=True, use_camera=True, epipolar=epi,
-            add_type="add_to_main_branch",
+    def body(_, xc):
+        out = unet.apply(params, xc, t, ctx, fs, camera)  # (B, T, h, w, 4)
+        return jnp.concatenate([out.astype(xc.dtype), xc[..., 4:]], axis=-1)
+
+    looped = jax.jit(lambda x: jax.lax.fori_loop(0, inner_steps, body, x))
+    total_s = _time(looped, x, iters=n_iters)
+    step_s = total_s / inner_steps
+
+    flops = None
+    try:
+        one = jax.jit(lambda p, x: unet.apply(p, x, t, ctx, fs, camera))
+        ca = one.lower(params, x).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = ca.get("flops")
+    except Exception:
+        pass
+    return step_s, flops
+
+
+def bench_e2e(n_iters: int, ddim_steps: int):
+    """Full jitted model.sample at the production recipe, batch 1."""
+    import jax
+    import jax.numpy as jnp
+
+    from camc2v_tpu.models.camcontexti2v import CamContextI2V
+    from camc2v_tpu.presets import camcontexti2v_256
+
+    cfg = camcontexti2v_256()
+    model = CamContextI2V(cfg, dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(lambda: model.init_params(jax.random.key(0), (256, 256)))
+    params = _realized_params(shapes)
+
+    b, T, IMG, n_ctx = 1, 16, 256, 2
+    rng = np.random.default_rng(0)
+    K = np.array([[IMG, 0, IMG / 2], [0, IMG, IMG / 2], [0, 0, 1]], np.float32)
+    w2c = np.tile(np.eye(4, dtype=np.float32), (b, T, 1, 1))
+    w2c[..., 0, 3] = np.linspace(0, 1, T)[None]
+    w2c[..., 1, 3] = 0.05
+    w2c_cond = np.tile(np.eye(4, dtype=np.float32), (b, n_ctx, 1, 1))
+    w2c_cond[..., 0, 3] = -0.3
+    batch = {
+        "video": jnp.asarray(rng.uniform(-1, 1, (b, T, IMG, IMG, 3)), jnp.float32),
+        "caption_tokens": jnp.zeros((b, 77), jnp.int32),
+        "frame_stride": jnp.full((b,), 3, jnp.int32),
+        "camera_intrinsics": jnp.broadcast_to(jnp.asarray(K), (b, T, 3, 3)),
+        "RT": jnp.asarray(w2c),
+        "cond_frames": jnp.asarray(rng.uniform(-1, 1, (b, n_ctx, IMG, IMG, 3)), jnp.float32),
+        "RT_cond": jnp.asarray(w2c_cond),
+    }
+
+    fn = jax.jit(
+        lambda p, batch, key: model.sample(
+            p, batch, key,
+            ddim_steps=ddim_steps, ddim_eta=1.0, guidance_scale=7.5,
+            guidance_rescale=0.7, timestep_spacing="uniform_trailing",
         )
-        unet = UNetModel(cfg, dtype=jnp.float32)
-        rng = np.random.default_rng(0)
-        x = jnp.asarray(rng.normal(size=(2, 4, 8, 8, 8)), jnp.float32)
-        t = jnp.full((2,), 500, jnp.int32)
-        ctx = jnp.asarray(rng.normal(size=(2, 7 + 4 * 2, 16)), jnp.float32)
-        fs = jnp.full((2,), 3, jnp.int32)
-        masks = {8: jnp.ones((2, 4 * 64, 4 * 64), bool), 16: jnp.ones((2, 4 * 16, 4 * 16), bool)}
-        plucker = (jnp.zeros((2, 4, 8, 8, 32)), jnp.zeros((2, 4, 4, 4, 64)))
-        camera = {"plucker": plucker, "masks": masks, "cond_frame_index": jnp.zeros((2,), jnp.int32)}
-        params = unet.init(jax.random.key(0), x, t, ctx, fs, camera)
-    else:
-        from camc2v_tpu.presets import camcontexti2v_256
+    )
+    video_s = _time(fn, params, batch, jax.random.key(1), iters=n_iters)
+    return video_s
 
-        cfg = camcontexti2v_256()
-        unet = UNetModel(cfg.unet, dtype=jnp.bfloat16)
-        x, t, ctx, fs, camera = _flagship_unet_inputs(batch=2, dtype=jnp.bfloat16)
-        params = jax.eval_shape(lambda: unet.init(jax.random.key(0), x, t, ctx, fs, camera))
-        # zeros are fine for throughput; casting params to bf16 halves HBM traffic
-        params = jax.tree_util.tree_map(
-            lambda s: jnp.zeros(s.shape, jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype),
-            params,
-        )
 
-    fwd = jax.jit(lambda p, x, t: unet.apply(p, x, t, ctx, fs, camera))
-    out = fwd(params, x, t)
-    out.block_until_ready()  # compile + warmup
+def bench_tiny():
+    import jax
+    import jax.numpy as jnp
 
-    times = []
-    for _ in range(n_iters):
-        t0 = time.perf_counter()
-        fwd(params, x, t).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    step_ms = float(np.median(times) * 1000)
-    videos_per_min = 60.0 / (DDIM_STEPS * np.median(times))
-    return step_ms, videos_per_min
+    jax.config.update("jax_platforms", "cpu")
+    import pathlib
+    import sys
+
+    sys.path.append(str(pathlib.Path(__file__).parent / "tests"))
+    sys.path.append(str(pathlib.Path(__file__).parent / "tests" / "oracle"))
+    import refload
+
+    m = refload.my_model("camcontext")
+    refload.patch_my_encoders(m)
+    params = m.init_params(jax.random.key(0), (refload.IMG, refload.IMG))
+    batch = refload.to_jax_batch(refload.make_batch(b=1, n_ctx=2))
+    t0 = time.perf_counter()
+    out = m.sample(params, batch, jax.random.key(1), ddim_steps=2, guidance_scale=7.5, decode=False)
+    jax.block_until_ready(out)
+    return time.perf_counter() - t0
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--tiny", action="store_true", help="CPU smoke run on a tiny UNet")
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--tiny", action="store_true", help="CPU smoke run (tiny config)")
+    ap.add_argument("--unet-only", action="store_true", help="benchmark one UNet eval only")
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--steps", type=int, default=DDIM_STEPS)
     args = ap.parse_args()
 
-    step_ms, videos_per_min = bench_flagship(args.iters, tiny=args.tiny)
-    result = {
-        "metric": "videos_per_min_per_chip_25step_ddim" + ("_tiny" if args.tiny else ""),
+    if args.tiny:
+        dt = bench_tiny()
+        print(json.dumps({
+            "metric": "tiny_cpu_sample_s", "value": round(dt, 2), "unit": "s",
+            "vs_baseline": 1.0,
+        }))
+        return
+
+    if args.unet_only:
+        step_s, flops = bench_unet(args.iters)
+        videos_per_min = 60.0 / (DDIM_STEPS * step_s)
+        print(json.dumps({
+            "metric": "unet_videos_per_min_per_chip_25step_ddim",
+            "value": round(videos_per_min, 3),
+            "unit": "videos/min/chip",
+            "vs_baseline": round(videos_per_min / REFERENCE_VIDEOS_PER_MIN_ESTIMATE, 3),
+            "unet_step_ms": round(step_s * 1000, 2),
+            "unet_tflops": None if flops is None else round(flops / 1e12, 2),
+        }))
+        return
+
+    video_s = bench_e2e(args.iters, args.steps)
+    step_s, _ = bench_unet(args.iters)
+    videos_per_min = 60.0 / video_s
+    print(json.dumps({
+        "metric": "e2e_videos_per_min_per_chip_25step_ddim",
         "value": round(videos_per_min, 3),
         "unit": "videos/min/chip",
         "vs_baseline": round(videos_per_min / REFERENCE_VIDEOS_PER_MIN_ESTIMATE, 3),
-        "unet_step_ms": round(step_ms, 2),
-    }
-    print(json.dumps(result))
+        "e2e_video_s": round(video_s, 3),
+        "unet_step_ms": round(step_s * 1000, 2),
+    }))
 
 
 if __name__ == "__main__":

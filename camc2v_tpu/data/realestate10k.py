@@ -184,6 +184,7 @@ class RealEstate10K:
         video_suffix: str = ".mp4",
         seed: Optional[int] = None,
         max_samples: Optional[int] = None,
+        pad_context_frames_to: Optional[int] = None,
         **unused,
     ):
         """max_samples caps the dataset (the reference DataModule's
@@ -205,6 +206,7 @@ class RealEstate10K:
         )
         self.tokenizer = tokenizer
         self.video_suffix = video_suffix
+        self.pad_context_frames_to = pad_context_frames_to
         self._rng = random.Random(seed)
         self._nprng = np.random.default_rng(seed)
 
@@ -388,6 +390,20 @@ class RealEstate10K:
             for s in samples:
                 s["cond_frames"] = s["cond_frames"][:n]
                 s["RT_cond"] = s["RT_cond"][:n]
+        if self.pad_context_frames_to and samples and "cond_frames" in samples[0]:
+            # pad-to-max: every context count compiles ONE program; padded
+            # slots (zero frames, identity poses) are neutralised by the
+            # cond_frames_valid mask inside the model
+            nmax = self.pad_context_frames_to
+            for s in samples:
+                n = s["cond_frames"].shape[0]
+                pad = nmax - n
+                if pad > 0:
+                    zf = np.zeros((pad, *s["cond_frames"].shape[1:]), s["cond_frames"].dtype)
+                    s["cond_frames"] = np.concatenate([s["cond_frames"], zf], axis=0)
+                    ident = np.tile(np.eye(4, dtype=s["RT_cond"].dtype), (pad, 1, 1))
+                    s["RT_cond"] = np.concatenate([s["RT_cond"], ident], axis=0)
+                s["cond_frames_valid"] = (np.arange(nmax) < n)
         out = {}
         for key in samples[0]:
             vals = [s[key] for s in samples]

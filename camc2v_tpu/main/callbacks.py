@@ -144,25 +144,33 @@ class ProgressPrinter(Callback):
 
 
 class MetricsLogger(Callback):
-    """CSV + stdout scalar logging (wandb/tensorboard sink hooks optional)."""
+    """Scalar logging through pluggable sinks (CSV / TensorBoard / wandb).
 
-    def __init__(self, logdir: str, interval: int = 50):
-        import os
+    reference: self.log_dict -> Lightning logger (utils_train.py:111-150).
+    With no explicit sinks, logs CSV + TensorBoard (the zero-egress analogue
+    of the reference's wandb default).
+    """
 
-        os.makedirs(logdir, exist_ok=True)
-        self.path = f"{logdir}/metrics.csv"
+    def __init__(self, logdir: str, interval: int = 50, sinks=None):
+        from camc2v_tpu.main.loggers import build_sinks
+
+        self.sinks = sinks if sinks is not None else build_sinks(None, logdir)
         self.interval = interval
-        self._wrote_header = False
 
     def on_train_batch_end(self, step, state, metrics):
-        if step % self.interval != 0:
+        if step % self.interval != 0 or not metrics:
             return
-        keys = sorted(k for k in metrics if np.isscalar(metrics[k]) or getattr(metrics[k], "ndim", 1) == 0)
-        with open(self.path, "a") as f:
-            if not self._wrote_header:
-                f.write("step," + ",".join(keys) + "\n")
-                self._wrote_header = True
-            f.write(f"{step}," + ",".join(f"{float(metrics[k]):.6g}" for k in keys) + "\n")
+        scalars = {
+            k: float(v)
+            for k, v in metrics.items()
+            if np.isscalar(v) or getattr(v, "ndim", 1) == 0
+        }
+        for sink in self.sinks:
+            sink.log_scalars(step, scalars)
+
+    def close(self):
+        for sink in self.sinks:
+            sink.close()
 
 
 class ImageLogger(Callback):

@@ -97,6 +97,7 @@ class Trainer:
         mesh=None,
         seed: int = 0,
         flag_schedule: Optional[list] = None,
+        log_every_n_steps: int = 10,
     ):
         """flag_schedule: [(from_step, {loss_kwargs})] phases — the FreezeCallback
         analogue (reference: main/callbacks.py:740-776 + the epipolar-mask
@@ -114,6 +115,7 @@ class Trainer:
         self.mesh = mesh
         self.seed = seed
         self.flag_schedule = sorted(flag_schedule or [], key=lambda x: x[0])
+        self.log_every_n_steps = max(1, log_every_n_steps)
         self._stop = False
         self._emergency_save = False
 
@@ -161,7 +163,8 @@ class Trainer:
         step = int(state.step)
         current_flags = self._flags_for(step)
         step_fn = TR.make_sharded_train_step(
-            self.model, self.train_config, self.mesh, loss_kwargs=current_flags
+            self.model, self.train_config, self.mesh, loss_kwargs=current_flags,
+            state=state if self.mesh is not None else None,
         )
         metrics = {}
         while step < max_steps and not self._stop:
@@ -173,7 +176,8 @@ class Trainer:
                     logger.info(f"[phase] step {step}: flags -> {flags} (retracing step fn)")
                     current_flags = flags
                     step_fn = TR.make_sharded_train_step(
-                        self.model, self.train_config, self.mesh, loss_kwargs=current_flags
+                        self.model, self.train_config, self.mesh, loss_kwargs=current_flags,
+                        state=state if self.mesh is not None else None,
                     )
                 for cb in self.callbacks:
                     cb.on_train_batch_start(step)
@@ -183,30 +187,50 @@ class Trainer:
                 for cb in self.callbacks:
                     cb.on_data_loaded(step)
                 state, metrics = step_fn(state, device_batch, rng)
-                step = int(state.step)
-                host_metrics = {k: float(v) for k, v in metrics.items()}
+                step += 1
+                # pulling metrics to host serialises dispatch — only sync on
+                # the logging interval so XLA can pipeline steps in between
+                # (the reference also logs on intervals, utils_train.py:111-150)
+                if step % self.log_every_n_steps == 0 or step >= max_steps or self._stop:
+                    host_metrics = {k: float(v) for k, v in metrics.items()}
+                    step = int(state.step)
+                else:
+                    host_metrics = {}
                 for cb in self.callbacks:
                     cb.on_train_batch_end(step, state, host_metrics)
                 if self.ckpt_dir and (step % self.ckpt_every_n_steps == 0 or self._emergency_save):
-                    CK.save_checkpoint(self.ckpt_dir, jax.device_get(state), step)
+                    # pass the (possibly sharded) state directly: orbax
+                    # coordinates the multi-process save itself; EVERY process
+                    # calls this (rank gating + device_get of non-addressable
+                    # shards would deadlock in multi-host runs)
+                    CK.save_checkpoint(self.ckpt_dir, state, step)
                     logger.info(f"checkpoint saved at step {step}")
                     self._emergency_save = False
                 if self.val_dataloader is not None and self.val_every_n_steps and step % self.val_every_n_steps == 0:
                     self.validate(state)
         if self.ckpt_dir:
-            CK.save_checkpoint(self.ckpt_dir, jax.device_get(state), step)
+            CK.save_checkpoint(self.ckpt_dir, state, step)
         return state
 
     def validate(self, state, max_batches: int = 8):
+        """Jitted, mesh-sharded validation: the loss mean runs over the GLOBAL
+        batch (all hosts), replacing the eager per-host loop."""
         import jax
 
+        from camc2v_tpu.parallel import mesh as M
+        from camc2v_tpu.parallel import trainer as TR
+
+        if not hasattr(self, "_eval_fn"):
+            self._eval_fn = TR.make_sharded_eval_step(self.model, self.mesh)
         losses = []
         for i, batch in enumerate(self.val_dataloader):
             if i >= max_batches:
                 break
             device_batch = batch_to_device(batch, self.tokenizer)
-            loss, _ = self.model.training_loss(state.params, device_batch, jax.random.key(i))
-            losses.append(float(loss))
+            if self.mesh is not None:
+                device_batch = M.shard_batch(self.mesh, device_batch)
+            metrics = self._eval_fn(state.params, device_batch, jax.random.key(i))
+            losses.append(float(metrics["loss"]))
         if losses:
             logger.info(f"[val] loss={np.mean(losses):.4f} over {len(losses)} batches")
         return float(np.mean(losses)) if losses else None
@@ -221,12 +245,14 @@ def make_sample_logger(
     tokenizer=None,
     sample_kwargs: Optional[dict] = None,
     num_batches: int = 1,
+    sinks=None,
 ):
     """Build the ImageLogger sample_fn: periodic train-time sample grids.
 
     reference: main/callbacks.py:163-236 (train/val media logging every N
     optimisation steps). `get_params` is a thunk returning current (or EMA)
-    params so the closure tracks training state.
+    params so the closure tracks training state. Media additionally flows to
+    the metric sinks (wandb/tensorboard), reference callbacks.py:183-207.
     """
     import jax
 
@@ -244,7 +270,10 @@ def make_sample_logger(
                 return
             device_batch = batch_to_device(batch, tokenizer)
             videos = model.sample(get_params(), device_batch, jax.random.key(step + i), **sample_kwargs)
-            save_grid(os.path.join(out_dir, f"step{step:07d}_b{i}.mp4"), np.asarray(videos))
+            videos = np.asarray(videos)
+            save_grid(os.path.join(out_dir, f"step{step:07d}_b{i}.mp4"), videos)
+            for sink in sinks or ():
+                sink.log_video(step, f"samples/batch{i}", videos[0])
             logger.info(f"[media] logged samples at step {step}")
 
     return sample_fn

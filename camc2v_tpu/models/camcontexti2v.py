@@ -137,6 +137,13 @@ class CamContextI2V(CamI2V):
         )
 
         cond_frames = batch.get("cond_frames")
+        # pad-to-max support: (B, N) validity flags from the collate (padded
+        # context slots hold zero frames / identity poses). With padding every
+        # N in [1, max] shares ONE compiled program; validity masks make the
+        # numerics exactly equal to the unpadded batch.
+        ctx_valid = batch.get("cond_frames_valid")
+        if ctx_valid is not None:
+            ctx_valid = ctx_valid.astype(bool)
         strategy = cfg.multi_cond_strategy
         latent_strategies = ("token_concat_latent", "token_concat_latent_epipolar")
 
@@ -169,8 +176,25 @@ class CamContextI2V(CamI2V):
                     config=cfg.epipolar if cfg.epipolar is not None else EpipolarConfig(),
                 )
 
+            eff_use_mask = adaptor_use_mask
+            if ctx_valid is not None:
+                # validity columns: cond-frame tokens always visible, padded
+                # context frames never (freeze phases drop only the epipolar
+                # component, not the validity)
+                token_valid = jnp.concatenate(
+                    [jnp.ones((b, 1), bool), ctx_valid], axis=1
+                )
+                token_valid = jnp.repeat(token_valid, hl * wl, axis=1)  # (B, (1+N)*hw)
+                lq_adapt = cfg.adaptor.num_queries * cfg.adaptor.video_length
+                use_epi = (
+                    cfg.adaptor.use_mask if adaptor_use_mask is None else adaptor_use_mask
+                ) and epi_mask is not None
+                base = epi_mask if use_epi else jnp.ones((b, lq_adapt, z_tokens.shape[1]), bool)
+                epi_mask = base & token_valid[:, None, :]
+                eff_use_mask = True
+
             img_cat_cond = self.adaptor.apply(
-                {"params": params["adaptor"]}, z_tokens, epi_mask, use_mask=adaptor_use_mask
+                {"params": params["adaptor"]}, z_tokens, epi_mask, use_mask=eff_use_mask
             )  # (B, T*hw, 4)
             original_cond = take_frame(z, cond_frame_index)  # (B, h, w, 4)
 
@@ -209,7 +233,15 @@ class CamContextI2V(CamI2V):
             img_emb = self.embed_images(params, imgs)  # (B*(1+N), L, 1024)
             l_tok = img_emb.shape[1]
             img_emb = img_emb.reshape(b, (1 + n_ctx), l_tok, -1)
-            if strategy == "max":
+            if strategy in ("max", "avg") and ctx_valid is not None:
+                fv = jnp.concatenate([jnp.ones((b, 1), bool), ctx_valid], axis=1)[:, :, None, None]
+                if strategy == "max":
+                    img_emb = jnp.max(jnp.where(fv, img_emb, -jnp.inf), axis=1)
+                else:
+                    img_emb = jnp.sum(jnp.where(fv, img_emb, 0.0), axis=1) / jnp.sum(
+                        fv.astype(img_emb.dtype), axis=1
+                    )
+            elif strategy == "max":
                 img_emb = jnp.max(img_emb, axis=1)
             elif strategy == "avg":
                 img_emb = jnp.mean(img_emb, axis=1)
@@ -225,6 +257,14 @@ class CamContextI2V(CamI2V):
             "origin_z0": z,
             "c_crossattn": jnp.concatenate([prompt_emb, img_emb], axis=1),
         }
+        if ctx_valid is not None and cfg.use_semantic_branch and cond_frames is not None:
+            # token-level validity for the UNet's image cross-attention branch
+            n_ctx = cond_frames.shape[1]
+            l_tok = img_emb.shape[1] // (1 + n_ctx)
+            frame_valid = jnp.concatenate([jnp.ones((b, 1), bool), ctx_valid], axis=1)
+            img_tok_valid = jnp.repeat(frame_valid, l_tok, axis=1)  # (B, (1+N)*l_tok)
+            text_valid = jnp.ones((b, prompt_emb.shape[1]), bool)
+            cond["c_crossattn_mask"] = jnp.concatenate([text_valid, img_tok_valid], axis=1)
         if camera is not None:
             cond["camera"] = camera
         return z, cond

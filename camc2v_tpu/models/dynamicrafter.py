@@ -305,6 +305,7 @@ class DynamiCrafter:
             cond["c_crossattn"],
             fs,
             cond.get("camera"),
+            context_mask=cond.get("c_crossattn_mask"),
         )
 
     # ----------------------------------------------------------------- loss
@@ -394,6 +395,7 @@ class DynamiCrafter:
         uc_img = self.embed_images(params, zero_img)
         uc = dict(cond)
         uc["c_crossattn"] = jnp.concatenate([uc_prompt, uc_img], axis=1)
+        uc.pop("c_crossattn_mask", None)  # the uncond context is single-frame
         return uc
 
     def sample(

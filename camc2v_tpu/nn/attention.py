@@ -86,8 +86,12 @@ class CrossAttention(nn.Module):
         context: Optional[jax.Array] = None,
         mask: Optional[jax.Array] = None,
         *,
+        context_mask: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
+        """context_mask: optional (N, L_ctx) bool token validity — padded
+        context-frame image tokens are excluded from the image-KV branch (text
+        tokens are always valid by construction)."""
         inner = self.heads * self.dim_head
         h, d = self.heads, self.dim_head
         self_attn = context is None
@@ -96,8 +100,11 @@ class CrossAttention(nn.Module):
         q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
 
         ctx_img = None
+        ctx_img_mask = None
         if self.image_cross_attention and not self_attn:
             ctx, ctx_img = ctx[:, : self.text_context_len], ctx[:, self.text_context_len :]
+            if context_mask is not None:
+                ctx_img_mask = context_mask[:, self.text_context_len :]
         elif not self_attn:
             ctx = ctx[:, : self.text_context_len]
 
@@ -141,7 +148,10 @@ class CrossAttention(nn.Module):
         if ctx_img is not None:
             k_ip = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k_ip")(ctx_img)
             v_ip = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v_ip")(ctx_img)
-            out_ip = dot_product_attention(qh, split(k_ip), split(v_ip))
+            ip_mask = None
+            if ctx_img_mask is not None:
+                ip_mask = ctx_img_mask[:, None, None, :]  # (N, 1, 1, Lk)
+            out_ip = dot_product_attention(qh, split(k_ip), split(v_ip), mask=ip_mask)
             out_ip = out_ip.reshape(out.shape[0], out.shape[1], inner)
             if self.image_cross_attention_scale_learnable:
                 alpha = self.param("alpha", nn.initializers.zeros_init(), (), jnp.float32)
@@ -233,6 +243,7 @@ class BasicTransformerBlock(nn.Module):
         mask: Optional[jax.Array] = None,
         camera: Optional[dict] = None,
         *,
+        context_mask: Optional[jax.Array] = None,
         spatial_hw: Optional[tuple[int, int]] = None,
         deterministic: bool = True,
     ) -> jax.Array:
@@ -332,7 +343,10 @@ class BasicTransformerBlock(nn.Module):
             text_context_len=self.text_context_len,
             dtype=self.dtype,
             name="attn2",
-        )(LayerNormF32(name="norm2")(x), context=context, mask=mask, deterministic=deterministic) + x
+        )(
+            LayerNormF32(name="norm2")(x), context=context, mask=mask,
+            context_mask=context_mask, deterministic=deterministic,
+        ) + x
 
         x = FeedForward(self.dim, dropout=self.dropout, dtype=self.dtype, name="ff")(
             LayerNormF32(name="norm3")(x), deterministic=deterministic
@@ -361,7 +375,8 @@ class SpatialTransformer(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, context: Optional[jax.Array] = None, *, deterministic: bool = True
+        self, x: jax.Array, context: Optional[jax.Array] = None, *,
+        context_mask: Optional[jax.Array] = None, deterministic: bool = True
     ) -> jax.Array:
         n, hh, ww, c = x.shape
         inner = self.n_heads * self.d_head
@@ -381,7 +396,7 @@ class SpatialTransformer(nn.Module):
                 image_cross_attention_scale_learnable=self.image_cross_attention_scale_learnable,
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(x, context=context, deterministic=deterministic)
+            )(x, context=context, context_mask=context_mask, deterministic=deterministic)
         x = Dense(self.in_channels, zero_init=True, dtype=self.dtype, name="proj_out")(x)
         return x.reshape(n, hh, ww, c) + x_in
 

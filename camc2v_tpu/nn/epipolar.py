@@ -197,11 +197,14 @@ class Epipolar(nn.Module):
             ds = cfg.origin_h // hh
             lines = ef.epipolar_lines(F, hh, ww, ds)
             dim_head = int(self.query_dim // self.heads // cfg.compression_factor)
-            block_k = min(ef.BLOCK_K, hh * ww)  # k-tiles never span frames
+            # k-tiles either subdivide a frame (hw >= 1024) or span several
+            # whole frames (hw < 1024) — BK=1024 minimises grid-step overhead
+            hw = hh * ww
+            block_k = ef.BLOCK_K if (hw % ef.BLOCK_K == 0 or ef.BLOCK_K % hw == 0) else hw
             kernel_ok = (
-                block_k >= 256
-                and (hh * ww) % block_k == 0
-                and (t * hh * ww) % ef.BLOCK_Q == 0
+                min(block_k, hw) >= 256
+                and (t * hw) % block_k == 0
+                and (t * hw) % ef.BLOCK_Q == 0
                 and (dim_head in (64, 128) or jax.default_backend() == "cpu")
             )
             if kernel_ok:

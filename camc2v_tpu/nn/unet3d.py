@@ -262,12 +262,12 @@ class UNetModel(nn.Module):
                 out["plucker"] = None
         return out
 
-    def _apply_block(self, layers, h, emb, context, b, camera_level, deterministic):
+    def _apply_block(self, layers, h, emb, context, b, camera_level, deterministic, context_mask=None):
         for kind, module in layers:
             if kind == "res":
                 h = module(h, emb, batch_size=b, deterministic=deterministic)
             elif kind == "spatial":
-                h = module(h, context=context, deterministic=deterministic)
+                h = module(h, context=context, context_mask=context_mask, deterministic=deterministic)
             elif kind == "temporal":
                 n, hh, ww, c = h.shape
                 t = n // b
@@ -287,9 +287,14 @@ class UNetModel(nn.Module):
         camera: Optional[dict] = None,
         features_adapter: Optional[tuple] = None,
         *,
+        context_mask: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
-        """x: (B, T, h, w, C_in); timesteps: (B,); context: (B, L, D); fs: (B,)."""
+        """x: (B, T, h, w, C_in); timesteps: (B,); context: (B, L, D); fs: (B,).
+
+        context_mask: optional (B, L) bool token validity (padded context
+        frames); threaded into the cross-attention image branch.
+        """
         cfg = self.config
         b, t, hh, ww, _ = x.shape
 
@@ -303,8 +308,11 @@ class UNetModel(nn.Module):
             ctx_img = context[:, cfg.text_context_len :].reshape(b, t, cfg.img_tokens_per_frame, -1)
             ctx_text = jnp.repeat(ctx_text[:, None], t, axis=1)  # (B, T, 77, D)
             context = jnp.concatenate([ctx_text, ctx_img], axis=2).reshape(b * t, -1, context.shape[-1])
+            context_mask = None  # single-frame context is never padded
         else:
             context = jnp.repeat(context, t, axis=0)
+            if context_mask is not None:
+                context_mask = jnp.repeat(context_mask.astype(bool), t, axis=0)
         context = context.astype(self.dtype)
 
         emb = jnp.repeat(emb, t, axis=0)  # (B*T, 4ch)
@@ -331,7 +339,7 @@ class UNetModel(nn.Module):
         for i, layers in enumerate(self.input_blocks):
             ds = self.input_block_meta[i]["ds"]
             cam = self._camera_for(camera, ds)
-            h = self._apply_block(layers, h, emb, context, b, cam, deterministic)
+            h = self._apply_block(layers, h, emb, context, b, cam, deterministic, context_mask)
             # reference block ids are offset by 1 (conv_in is block 0)
             if ((i + 2) % 3 == 0) and features_adapter is not None:
                 h = h + features_adapter[adapter_idx]
@@ -339,13 +347,13 @@ class UNetModel(nn.Module):
             hs.append(h)
 
         cam = self._camera_for(camera, self.middle_ds, use_last_plucker=True)
-        h = self._apply_block(self.middle_block, h, emb, context, b, cam, deterministic)
+        h = self._apply_block(self.middle_block, h, emb, context, b, cam, deterministic, context_mask)
 
         for i, layers in enumerate(self.output_blocks):
             h = jnp.concatenate([h, hs.pop()], axis=-1)
             ds = self.output_block_meta[i]["ds"]
             cam = self._camera_for(camera, ds)
-            h = self._apply_block(layers, h, emb, context, b, cam, deterministic)
+            h = self._apply_block(layers, h, emb, context, b, cam, deterministic, context_mask)
 
         h = self.out_norm(h, silu=True)
         h = self.out_conv(h)

@@ -114,14 +114,17 @@ def epipolar_tile_map(
     pixel distance. The trailing +1 tile is the register tile (always on).
     """
     b, lq, t2, _ = lines.shape
-    corners = jnp.asarray(_tile_rect_corners(h, w, downsample, block_k))  # (tpf, 4, 3)
+    hw = h * w
+    sub_bk = min(block_k, hw)  # hull rects never span frames
+    corners = jnp.asarray(_tile_rect_corners(h, w, downsample, sub_bk))  # (tpf, 4, 3)
     vals = jnp.einsum("bqtc,krc->bqtkr", lines, corners)  # (B, Lq, T2, tpf, 4)
     sign_change = (jnp.min(vals, -1) < 0) & (jnp.max(vals, -1) > 0)
     min_abs = jnp.where(sign_change, 0.0, jnp.min(jnp.abs(vals), -1))  # NaN-safe: NaN rows -> False below
     thresh = downsample * math.sqrt(2.0) / 2.0
     hit = min_abs < thresh  # (B, Lq, T2, tpf); NaN < t == False
     nq = lq // block_q
-    hit = hit.reshape(b, nq, block_q, t2 * ((h * w) // block_k)).any(axis=2)
+    nk_frames = (t2 * hw) // block_k  # frame tiles (register tile excluded)
+    hit = hit.reshape(b, nq, block_q, nk_frames, -1).any(axis=(2, 4))
     reg = jnp.ones((b, nq, 1), bool)
     return jnp.concatenate([hit, reg], axis=-1).astype(jnp.int32)
 
@@ -129,7 +132,8 @@ def epipolar_tile_map(
 def _v2_kernel(
     tile_any_ref, q_ref, k_ref, v_ref, lines_ref, o_ref,
     m_scratch, l_scratch, acc_scratch,
-    *, nk, g, block_k, w, downsample, thresh, num_registers, tiles_per_frame,
+    *, nk, g, block_k, w, hw, downsample, thresh, num_registers, tiles_per_frame,
+    frames_per_tile,
 ):
     bg = pl.program_id(0)
     qi = pl.program_id(1)
@@ -151,17 +155,29 @@ def _v2_kernel(
         )  # (Hb, BQ, BK)
 
         is_register_tile = ki == nk - 1
-        # key-pixel coordinates of this tile (raster order within the frame);
-        # 2-D iota — Mosaic does not lower 1-D iotas correctly
-        kidx = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
-        kfree = (ki % tiles_per_frame) * block_k + kidx
-        px = pix2coord((kfree % w).astype(jnp.float32), downsample)  # (1, BK)
-        py = pix2coord((kfree // w).astype(jnp.float32), downsample)
-        lines = lines_ref[0, 0]  # (BQ, 3)
-        # dist = |a x + b y + c| per (q, k)
-        dist = jnp.abs(
-            lines[:, 0:1] * px + lines[:, 1:2] * py + lines[:, 2:3]
-        )  # (BQ, BK)
+        # key-pixel coordinates; 2-D iota — Mosaic does not lower 1-D iotas.
+        # Two layouts: block_k <= hw (tile = sub-range of ONE frame) or
+        # block_k == frames_per_tile*hw (tile spans several whole frames, each
+        # with its own epipolar line set — small static loop).
+        if frames_per_tile == 1:
+            kidx = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+            kfree = (ki % tiles_per_frame) * block_k + kidx
+            px = pix2coord((kfree % w).astype(jnp.float32), downsample)  # (1, BK)
+            py = pix2coord((kfree // w).astype(jnp.float32), downsample)
+            lines = lines_ref[0, 0]  # (BQ, 3)
+            dist = jnp.abs(
+                lines[:, 0:1] * px + lines[:, 1:2] * py + lines[:, 2:3]
+            )  # (BQ, BK)
+        else:
+            kidx = jax.lax.broadcasted_iota(jnp.int32, (1, hw), 1)
+            px = pix2coord((kidx % w).astype(jnp.float32), downsample)  # (1, hw)
+            py = pix2coord((kidx // w).astype(jnp.float32), downsample)
+            parts = []
+            for j in range(frames_per_tile):
+                lj = lines_ref[0, j]  # (BQ, 3)
+                parts.append(jnp.abs(lj[:, 0:1] * px + lj[:, 1:2] * py + lj[:, 2:3]))
+            dist = jnp.concatenate(parts, axis=1)  # (BQ, BK)
+            kidx = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
         # Mosaic mis-lowers vector selects that mix a broadcast scalar
         # predicate with i1 vectors — blend the two penalties arithmetically
         reg_flag = is_register_tile.astype(jnp.float32)  # traced scalar 0/1
@@ -214,11 +230,14 @@ def _epipolar_flash_fwd_impl(
     """
     b, lq, heads, d = q.shape
     lk = k.shape[1]
+    hw = h * w
     assert lq == t * h * w and lk == lq + block_k, (lq, lk, t, h, w, block_k)
-    assert (h * w) % block_k == 0 and lq % block_q == 0
+    assert (hw % block_k == 0) or (block_k % hw == 0 and (t * hw) % block_k == 0)
+    assert lq % block_q == 0
     nq = lq // block_q
     nk = lk // block_k
-    tiles_per_frame = (h * w) // block_k
+    tiles_per_frame = max(1, hw // block_k)
+    frames_per_tile = max(1, block_k // hw)
     thresh = downsample * math.sqrt(2.0) / 2.0
 
     tile_any = epipolar_tile_map(lines, t, h, w, downsample, block_q, block_k)
@@ -237,12 +256,21 @@ def _epipolar_flash_fwd_impl(
     # Block = the lines of this q-tile in the key frame of tile ki (clamped
     # into range for the register tile, where the kernel ignores it).
     lines_t = jnp.swapaxes(lines.astype(jnp.float32), 1, 2)
-    lines_spec = pl.BlockSpec(
-        (1, 1, block_q, 3),
-        lambda bg, qi, ki, *_, _tpf=tiles_per_frame, _t=t: (
-            bg // g, jnp.minimum(ki // _tpf, _t - 1), qi, 0
-        ),
-    )
+    if frames_per_tile == 1:
+        lines_spec = pl.BlockSpec(
+            (1, 1, block_q, 3),
+            lambda bg, qi, ki, *_, _tpf=tiles_per_frame, _t=t: (
+                bg // g, jnp.minimum(ki // _tpf, _t - 1), qi, 0
+            ),
+        )
+    else:
+        # tile spans frames [ki*fpt, (ki+1)*fpt); block index is in fpt units
+        lines_spec = pl.BlockSpec(
+            (1, frames_per_tile, block_q, 3),
+            lambda bg, qi, ki, *_, _fpt=frames_per_tile, _t=t: (
+                bg // g, jnp.minimum(ki, _t // _fpt - 1), qi, 0
+            ),
+        )
     scratch = [
         pltpu.VMEM((hb, block_q, 1), jnp.float32),
         pltpu.VMEM((hb, block_q, 1), jnp.float32),
@@ -257,8 +285,9 @@ def _epipolar_flash_fwd_impl(
     )
     out = pl.pallas_call(
         functools.partial(
-            _v2_kernel, nk=nk, g=g, block_k=block_k, w=w, downsample=downsample,
+            _v2_kernel, nk=nk, g=g, block_k=block_k, w=w, hw=hw, downsample=downsample,
             thresh=thresh, num_registers=num_registers, tiles_per_frame=tiles_per_frame,
+            frames_per_tile=frames_per_tile,
         ),
         out_shape=jax.ShapeDtypeStruct((b * g, hb, lq, d), q.dtype),
         grid_spec=grid_spec,

@@ -29,14 +29,30 @@ _MAX_VMEM_BYTES = 6 * 1024 * 1024
 
 
 def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups, eps, silu):
+    """One sample per grid step; (HW, C) resident in VMEM.
+
+    Mosaic cannot reshape the lane (channel) dim into (groups, cg), so group
+    statistics are aggregated with a one-hot (C, G) matmul — per-channel sums
+    reduce over sublanes, the tiny matmul rides the MXU, and the transposed
+    matmul broadcasts group stats back to channels.
+    """
     x = x_ref[0].astype(jnp.float32)  # (HW, C)
     hw, c = x.shape
     cg = c // num_groups
-    xg = x.reshape(hw, num_groups, cg)
-    mean = jnp.mean(xg, axis=(0, 2), keepdims=True)  # (1, G, 1)
-    var = jnp.mean((xg - mean) ** 2, axis=(0, 2), keepdims=True)
-    inv = jax.lax.rsqrt(var + eps)
-    y = ((xg - mean) * inv).reshape(hw, c)
+    # A[ch, g] = 1 iff ch belongs to group g
+    A = (
+        jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 0) // cg
+        == jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 1)
+    ).astype(jnp.float32)
+    n = float(hw * cg)
+    s1 = jnp.sum(x, axis=0, keepdims=True)  # (1, C)
+    mean_g = jax.lax.dot(s1, A) / n  # (1, G)
+    mean_c = jax.lax.dot(mean_g, A.T)  # (1, C)
+    d = x - mean_c
+    s2 = jnp.sum(d * d, axis=0, keepdims=True)  # (1, C) — exact two-pass var
+    var_g = jax.lax.dot(s2, A) / n
+    inv_c = jax.lax.dot(jax.lax.rsqrt(var_g + eps), A.T)  # (1, C)
+    y = d * inv_c
     y = y * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(jnp.float32)
     if silu:
         y = y * jax.nn.sigmoid(y)
@@ -139,5 +155,6 @@ def group_norm_supported(x: jax.Array, num_groups: int) -> bool:
     bytes_needed = hw * c * (x.dtype.itemsize * 2 + 4)
     if bytes_needed > _MAX_VMEM_BYTES:
         return False
-    # lane-dim alignment: C must tile to 128 lanes; spatial to 8 sublanes
-    return c % 128 == 0 and hw % 8 == 0
+    # lane-dim alignment: Mosaic masks partial lane tiles, so any multiple of
+    # 8 channels >= 128 works (320 verified on a v5e); spatial to 8 sublanes
+    return c >= 128 and c % 8 == 0 and hw % 8 == 0

@@ -71,5 +71,18 @@ def zero1_sharding(mesh: Mesh, tree: Any) -> Any:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Place a HOST-LOCAL batch onto the mesh, sharded on the batch axis.
+
+    Single-process: a plain device_put. Multi-process (jax.distributed): each
+    host holds only its local slice of the global batch, so the global array
+    is assembled from per-process shards — device_put with a global sharding
+    would demand the full global array on every host and fail on the size
+    check.
+    """
     sharding = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch,
+    )

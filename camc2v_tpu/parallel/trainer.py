@@ -152,23 +152,57 @@ def make_train_step(
     return train_step
 
 
-def shard_train_state(mesh: Mesh, state: TrainState) -> TrainState:
-    """Params/EMA replicated; optimizer state ZeRO-1 sharded over `data`."""
+def train_state_shardings(mesh: Mesh, state: TrainState) -> TrainState:
+    """Sharding pytree for a TrainState: params/EMA/step replicated, optimizer
+    state ZeRO-1 sharded per-leaf over `data`."""
     rep = replicated(mesh)
-    put_rep = lambda t: jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), t)
-    params = put_rep(state.params)
-    ema = put_rep(state.ema_params) if state.ema_params is not None else None
-    opt_shardings = zero1_sharding(mesh, state.opt_state)
-    opt_state = jax.tree_util.tree_map(jax.device_put, state.opt_state, opt_shardings)
-    return TrainState(params=params, opt_state=opt_state, ema_params=ema, step=jax.device_put(state.step, rep))
+    rep_tree = lambda t: jax.tree_util.tree_map(lambda _: rep, t)
+    return TrainState(
+        params=rep_tree(state.params),
+        opt_state=zero1_sharding(mesh, state.opt_state),
+        ema_params=rep_tree(state.ema_params) if state.ema_params is not None else None,
+        step=rep,
+    )
+
+
+def shard_train_state(mesh: Mesh, state: TrainState) -> TrainState:
+    """Place a host TrainState onto the mesh per train_state_shardings."""
+    shardings = train_state_shardings(mesh, state)
+    return jax.tree_util.tree_map(jax.device_put, state, shardings)
 
 
 def make_sharded_train_step(
-    model, cfg: TrainConfig, mesh: Mesh, world_batch_scale: float = 1.0, loss_kwargs: Optional[dict] = None
+    model, cfg: TrainConfig, mesh: Mesh, world_batch_scale: float = 1.0,
+    loss_kwargs: Optional[dict] = None, state: Optional[TrainState] = None,
 ):
-    """jit the train step with explicit in/out shardings over the mesh.
+    """jit the train step; the batch arrives sharded on `data` and XLA inserts
+    the gradient psum over ICI.
 
-    The batch arrives sharded on `data`; XLA inserts the gradient psum over ICI.
+    When a `state` template is given, the OUTPUT shardings are pinned to the
+    ZeRO-1 layout (params/EMA replicated, optimizer state sharded) so a
+    refactor cannot silently replicate the optimizer state; without it the
+    layout still follows the pre-placed inputs.
     """
     step = make_train_step(model, cfg, world_batch_scale, loss_kwargs)
-    return jax.jit(step, donate_argnums=(0,))
+    if state is None:
+        return jax.jit(step, donate_argnums=(0,))
+    out_shardings = (train_state_shardings(mesh, state), replicated(mesh))
+    return jax.jit(step, donate_argnums=(0,), out_shardings=out_shardings)
+
+
+def make_sharded_eval_step(model, mesh: Optional[Mesh], loss_kwargs: Optional[dict] = None):
+    """jitted validation loss over a data-sharded batch.
+
+    The per-sample loss mean runs over the GLOBAL batch (the batch array is
+    sharded over `data`, so jnp.mean is a cross-host reduction under SPMD) —
+    the multi-host-correct replacement for the eager per-host validate loop.
+    """
+    loss_kwargs = loss_kwargs or {}
+
+    def eval_step(params, batch, rng):
+        loss, metrics = model.training_loss(params, batch, rng, **loss_kwargs)
+        return dict(metrics, loss=loss)
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    return jax.jit(eval_step, out_shardings=replicated(mesh))

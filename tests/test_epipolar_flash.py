@@ -203,3 +203,23 @@ class TestGroupNormFused:
         flat = jax.tree_util.tree_flatten_with_path(p["params"])[0]
         paths = {"/".join(str(k.key) for k in path) for path, _ in flat}
         assert paths == {"GroupNorm_0/scale", "GroupNorm_0/bias"}
+
+
+def test_kernel_multi_frame_tiles():
+    """block_k > hw: one k-tile spans several whole frames (the ds16 flagship
+    layout after the BK=1024 generalisation)."""
+    F = _realistic_F()
+    lines = epipolar_lines(F, H, W, DS)
+    q, k0, v0, *_ = _qkv()
+    bk = 4 * HW  # all 4 frames in one tile
+    pad = bk - BK
+    k = jnp.concatenate([k0, jnp.zeros((B, pad, *k0.shape[2:]))], axis=1)
+    v = jnp.concatenate([v0, jnp.zeros((B, pad, *v0.shape[2:]))], axis=1)
+    out2 = epipolar_flash_attention(
+        q, k, v, lines, t=T, h=H, w=W, downsample=DS, num_registers=R,
+        block_q=BQ, block_k=bk,
+    )
+    mask = materialize_mask(lines, T, H, W, DS)
+    regmask = jnp.broadcast_to((jnp.arange(bk) < R)[None, None], (B, LQ, bk))
+    out1 = flash_attention(q, k, v, mask=jnp.concatenate([mask, regmask], axis=-1))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out1), atol=2e-6)
