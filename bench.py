@@ -83,12 +83,15 @@ def bench_unet(n_iters: int, inner_steps: int = 10):
     shapes = jax.eval_shape(lambda: unet.init(jax.random.key(0), x, t, ctx, fs, camera))
     params = _realized_params(shapes)
 
-    def body(_, xc):
-        out = unet.apply(params, xc, t, ctx, fs, camera)  # (B, T, h, w, 4)
-        return jnp.concatenate([out.astype(xc.dtype), xc[..., 4:]], axis=-1)
+    def looped_fn(p, x0):
+        def body(_, xc):
+            out = unet.apply(p, xc, t, ctx, fs, camera)  # (B, T, h, w, 4)
+            return jnp.concatenate([out.astype(xc.dtype), xc[..., 4:]], axis=-1)
 
-    looped = jax.jit(lambda x: jax.lax.fori_loop(0, inner_steps, body, x))
-    total_s = _time(looped, x, iters=n_iters)
+        return jax.lax.fori_loop(0, inner_steps, body, x0)
+
+    looped = jax.jit(looped_fn)
+    total_s = _time(looped, params, x, iters=n_iters)
     step_s = total_s / inner_steps
 
     flops = None

@@ -132,7 +132,18 @@ class FVDScorer:
         self.model = InceptionI3D(features="logits" if variant == "videogpt" else "pool")
         weights_path = weights_path or os.environ.get("I3D_WEIGHTS_PATH")
         if weights_path and os.path.exists(weights_path):
-            self.variables = dict(np.load(weights_path, allow_pickle=True)["variables"].item())
+            archive = np.load(weights_path, allow_pickle=True)
+            if "variables" not in getattr(archive, "files", []):
+                raise ValueError(
+                    f"{weights_path} is not a converted I3D checkpoint (missing "
+                    "'variables' entry) — produce one with tools/convert_i3d_weights.py"
+                )
+            self.variables = dict(archive["variables"].item())
+            if "params" not in self.variables:
+                raise ValueError(
+                    f"{weights_path}: 'variables' lacks a 'params' collection — "
+                    "wrong or corrupted conversion"
+                )
         else:
             self.variables = None
 

@@ -175,7 +175,13 @@ class CamI2V(CameraControlLVDM):
             R = pairs[..., :3, :3]
             tvec = pairs[..., :3, 3:4]
             if cfg.epipolar.add_small_perturbation_on_zero_T:
-                # keyed off pose content for determinism under jit
+                # DELIBERATE DEVIATION from the reference: a fixed PRNG key
+                # instead of fresh randn per call (camcontexti2v.py:273-278).
+                # The perturbation only randomises zero-translation (same-
+                # frame) pairs whose 1e-6-scale direction is arbitrary by
+                # construction; a fixed key keeps the train step deterministic
+                # and retrace-free under jit. See also the borderline-bit
+                # notes in tests/test_reference_parity.py.
                 pkey = jax.random.key(0)
                 tvec = G.add_small_perturbation(tvec, pkey)
             K_pairs = jnp.broadcast_to(K[:, None], (b, t, t, 3, 3))

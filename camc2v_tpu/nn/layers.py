@@ -60,10 +60,16 @@ class GroupNorm32(nn.Module):
 
         from camc2v_tpu.ops import groupnorm as gnops
 
-        if jax.default_backend() != "cpu" and gnops.group_norm_supported(x, groups):
-            return gnops.group_norm_fused(
-                x, scale, bias, num_groups=groups, eps=self.epsilon, silu=silu
-            )
+        if jax.default_backend() != "cpu":
+            if gnops.group_norm_supported(x, groups):
+                return gnops.group_norm_fused(
+                    x, scale, bias, num_groups=groups, eps=self.epsilon, silu=silu
+                )
+            # NOTE: group_norm_fused_big (two-phase streaming kernel for the
+            # temporal 5D norms) measured NET NEGATIVE in-graph on a v5e
+            # (194.2 vs 186.9 ms/step): the kernel itself runs at roofline but
+            # XLA inserts 42 MB layout-normalisation copies on both sides of
+            # every call site. Revisit only with layout-matching block specs.
         return gnops.group_norm_plain(
             x, scale, bias, num_groups=groups, eps=self.epsilon, silu=silu
         )

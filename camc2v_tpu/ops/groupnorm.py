@@ -68,13 +68,26 @@ def group_norm_plain(
     eps: float = 1e-5,
     silu: bool = False,
 ) -> jax.Array:
-    """Plain-XLA twin of the kernel (fallback path + VJP recompute)."""
+    """Plain-XLA twin of the kernel (fallback path + VJP recompute).
+
+    Uses the same one-hot group-matmul formulation as the kernel instead of
+    reshaping channels into (groups, cg): lane-dim reshapes force XLA into
+    ~27 GB/s layout-hostile reduce fusions on TPU (profiled round 2), whereas
+    per-channel reductions keep the channel axis minor and fast.
+    """
     orig_dtype = x.dtype
     n, c = x.shape[0], x.shape[-1]
-    xf = x.reshape(n, -1, num_groups, c // num_groups).astype(jnp.float32)
-    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.mean((xf - mean) ** 2, axis=(1, 3), keepdims=True)
-    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(n, -1, c)
+    cg = c // num_groups
+    xf = x.reshape(n, -1, c).astype(jnp.float32)
+    A = (
+        jnp.arange(c)[:, None] // cg == jnp.arange(num_groups)[None, :]
+    ).astype(jnp.float32)  # (C, G) one-hot group assignment
+    s1 = jnp.mean(xf, axis=1)  # (n, C) — channel-minor reduce
+    mean_c = ((s1 @ A) / cg) @ A.T  # (n, C): per-channel group mean
+    d = xf - mean_c[:, None]
+    v = jnp.mean(d * d, axis=1)  # (n, C) — exact two-pass variance
+    inv_c = jax.lax.rsqrt(((v @ A) / cg) @ A.T + eps)
+    y = d * inv_c[:, None]
     y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     if silu:
         y = y * jax.nn.sigmoid(y)
@@ -142,6 +155,125 @@ def group_norm_fused(
     Differentiable (backward recomputes through the plain-XLA twin).
     """
     return _group_norm(x, scale, bias, num_groups, eps, silu)
+
+
+def _gn_big_kernel(
+    x_ref, scale_ref, bias_ref, o_ref, s1_ref, s2_ref, mean_ref, inv_ref,
+    *, num_groups, eps, silu, seq, chunk_elems,
+):
+    """Two-phase GN for samples too big for VMEM (the temporal-transformer
+    norms: stats per (B, group) over T*H*W spatial positions).
+
+    Grid (B, 2, T): phase 0 accumulates per-channel sum / sum-of-squares over
+    the sequence chunks; phase 1 derives the group stats (one-hot matmuls,
+    single-pass variance in f32) and normalises each chunk. Each (b, t) output
+    block is visited in both phases and flushed after the final write.
+    """
+    p = pl.program_id(1)
+    ti = pl.program_id(2)
+    x = x_ref[0, 0].astype(jnp.float32)  # (HW, C)
+    c = x.shape[-1]
+    cg = c // num_groups
+
+    @pl.when((p == 0) & (ti == 0))
+    def _():
+        s1_ref[...] = jnp.zeros_like(s1_ref)
+        s2_ref[...] = jnp.zeros_like(s2_ref)
+
+    @pl.when(p == 0)
+    def _():
+        s1_ref[...] += jnp.sum(x, axis=0, keepdims=True)
+        s2_ref[...] += jnp.sum(x * x, axis=0, keepdims=True)
+
+    @pl.when((p == 1) & (ti == 0))
+    def _():
+        A = (
+            jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 0) // cg
+            == jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 1)
+        ).astype(jnp.float32)
+        n = float(seq * chunk_elems * cg)
+        mean_g = jax.lax.dot(s1_ref[...], A) / n
+        ex2_g = jax.lax.dot(s2_ref[...], A) / n
+        var_g = jnp.maximum(ex2_g - mean_g * mean_g, 0.0)
+        mean_ref[...] = jax.lax.dot(mean_g, A.T)
+        inv_ref[...] = jax.lax.dot(jax.lax.rsqrt(var_g + eps), A.T)
+
+    @pl.when(p == 1)
+    def _():
+        y = (x - mean_ref[...]) * inv_ref[...]
+        y = y * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(jnp.float32)
+        if silu:
+            y = y * jax.nn.sigmoid(y)
+        o_ref[0, 0] = y.astype(o_ref.dtype)
+
+
+def _fused_big_impl(x, scale, bias, num_groups, eps, silu):
+    """x viewed as (B, T, HW, C); stats per (B, group) over (T, HW, C/G)."""
+    orig_shape = x.shape
+    b, t = x.shape[0], x.shape[1]
+    c = x.shape[-1]
+    hw = 1
+    for s in x.shape[2:-1]:
+        hw *= s
+    xf = x.reshape(b, t, hw, c)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _gn_big_kernel, num_groups=num_groups, eps=eps, silu=silu,
+            seq=t, chunk_elems=hw,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t, hw, c), x.dtype),
+        grid=(b, 2, t),
+        in_specs=[
+            pl.BlockSpec((1, 1, hw, c), lambda bi, p, ti: (bi, ti, 0, 0)),
+            pl.BlockSpec((c,), lambda bi, p, ti: (0,)),
+            pl.BlockSpec((c,), lambda bi, p, ti: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, hw, c), lambda bi, p, ti: (bi, ti, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((1, c), jnp.float32),
+            pltpu.VMEM((1, c), jnp.float32),
+            pltpu.VMEM((1, c), jnp.float32),
+            pltpu.VMEM((1, c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(xf, scale, bias)
+    return out.reshape(orig_shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _group_norm_big(x, scale, bias, num_groups, eps, silu):
+    return _fused_big_impl(x, scale, bias, num_groups, eps, silu)
+
+
+def _gn_big_fwd(x, scale, bias, num_groups, eps, silu):
+    return _group_norm_big(x, scale, bias, num_groups, eps, silu), (x, scale, bias)
+
+
+_group_norm_big.defvjp(_gn_big_fwd, _gn_bwd)
+
+
+def group_norm_fused_big(x, scale, bias, *, num_groups=32, eps=1e-5, silu=False):
+    """GN for (B, T, ..., C) inputs whose per-sample maps exceed VMEM;
+    per-(T-slice) chunks stream through a two-phase kernel."""
+    return _group_norm_big(x, scale, bias, num_groups, eps, silu)
+
+
+def group_norm_big_supported(x: jax.Array, num_groups: int) -> bool:
+    if x.ndim < 4:
+        return False
+    c = x.shape[-1]
+    if c % num_groups != 0 or c < 128 or c % 8 != 0:
+        return False
+    hw = 1
+    for s in x.shape[2:-1]:
+        hw *= s
+    if hw % 8 != 0:
+        return False
+    return hw * c * (x.dtype.itemsize * 2 + 4) <= _MAX_VMEM_BYTES
 
 
 def group_norm_supported(x: jax.Array, num_groups: int) -> bool:

@@ -223,3 +223,28 @@ def test_kernel_multi_frame_tiles():
     regmask = jnp.broadcast_to((jnp.arange(bk) < R)[None, None], (B, LQ, bk))
     out1 = flash_attention(q, k, v, mask=jnp.concatenate([mask, regmask], axis=-1))
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out1), atol=2e-6)
+
+
+def test_big_input_two_phase_kernel():
+    """(B, T, H, W, C) temporal-norm layout through the streaming kernel."""
+    import flax.linen as nn
+
+    from camc2v_tpu.ops.groupnorm import group_norm_fused_big, group_norm_big_supported
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 4, 8, 8, 128)) * 2 + 0.7, jnp.float32)
+    scale = jnp.asarray(rng.normal(size=(128,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(128,)), jnp.float32)
+    assert group_norm_big_supported(x, 32)
+
+    gn = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32)
+    ref = gn.apply({"params": {"scale": scale, "bias": bias}}, x)
+    out = group_norm_fused_big(x, scale, bias, num_groups=32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+    out_s = group_norm_fused_big(x, scale, bias, num_groups=32, silu=True)
+    np.testing.assert_allclose(
+        np.asarray(out_s), np.asarray(ref) * jax.nn.sigmoid(np.asarray(ref)), atol=5e-5
+    )
+    g = jax.grad(lambda a: jnp.sum(group_norm_fused_big(a, scale, bias, num_groups=32) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all()

@@ -200,3 +200,130 @@ def test_trajectory_txt_loader(tmp_path):
     w2c = load_trajectory_txt(str(p))
     assert w2c.shape == (3, 4, 4)
     np.testing.assert_allclose(w2c[2, 0, 3], 2.0)
+
+
+class TestColmapBinaryModel:
+    """Native .bin model readers (reference vendors the same format readers,
+    utils/evaluation.py:118-473)."""
+
+    @staticmethod
+    def _write_model(d, n=3):
+        import struct
+
+        rng = np.random.default_rng(0)
+        # synthetic camera ring
+        qvecs, tvecs = [], []
+        for i in range(n):
+            a = 0.1 * i
+            qvecs.append(np.array([np.cos(a / 2), 0.0, np.sin(a / 2), 0.0]))
+            tvecs.append(np.array([0.3 * i, 0.0, 1.0]))
+        with open(os.path.join(d, "images.bin"), "wb") as f:
+            f.write(struct.pack("<Q", n))
+            for i in range(n):
+                f.write(struct.pack("<idddddddi", i + 1, *qvecs[i], *tvecs[i], 1))
+                f.write(f"{i:05d}.png".encode() + b"\x00")
+                f.write(struct.pack("<Q", 2))  # 2 dummy 2D points
+                f.write(struct.pack("<ddq", 1.0, 2.0, -1) * 2)
+        with open(os.path.join(d, "cameras.bin"), "wb") as f:
+            f.write(struct.pack("<Q", 1))
+            f.write(struct.pack("<iiQQ", 1, 0, 64, 48))  # SIMPLE_PINHOLE
+            f.write(struct.pack("<3d", 60.0, 32.0, 24.0))
+        pts = rng.normal(size=(10, 3)) + np.array([0, 0, 5.0])
+        with open(os.path.join(d, "points3D.bin"), "wb") as f:
+            f.write(struct.pack("<Q", len(pts)))
+            for j, p in enumerate(pts):
+                f.write(struct.pack("<QdddBBBd", j + 1, *p, 10, 20, 30, 0.5))
+                f.write(struct.pack("<Q", 1))
+                f.write(struct.pack("<ii", 1, 0))
+        return qvecs, tvecs, pts
+
+    def test_bin_reader_roundtrip(self, tmp_path):
+        from camc2v_tpu.eval import colmap as C
+
+        qvecs, tvecs, _ = self._write_model(str(tmp_path))
+        poses = C.read_images_bin(str(tmp_path / "images.bin"))
+        assert len(poses) == 3
+        rt = poses["00001.png"]
+        np.testing.assert_allclose(rt[:3, :3], C.qvec2rotmat(qvecs[1]), atol=1e-12)
+        np.testing.assert_allclose(rt[:3, 3], tvecs[1], atol=1e-12)
+        cams = C.read_cameras_bin(str(tmp_path / "cameras.bin"))
+        assert cams[1]["width"] == 64 and cams[1]["params"][0] == 60.0
+        xyz, rgb = C.read_points3d_bin(str(tmp_path / "points3D.bin"))
+        assert xyz.shape == (10, 3) and (rgb[0] == [10, 20, 30]).all()
+
+    def test_trajectory_prefers_bin(self, tmp_path):
+        from camc2v_tpu.eval import colmap as C
+
+        self._write_model(str(tmp_path))
+        traj = C.recovered_trajectory(str(tmp_path))
+        assert traj.shape == (3, 4, 4)
+        # first frame pose is identity-rotation-ish at a=0
+        np.testing.assert_allclose(traj[0][:3, :3], np.eye(3), atol=1e-12)
+
+    def test_export_poses_and_depth(self, tmp_path):
+        from camc2v_tpu.eval import colmap as C
+
+        self._write_model(str(tmp_path))
+        out = str(tmp_path / "export")
+        rel = C.export_poses(str(tmp_path), out)
+        assert rel.shape == (3, 4, 4)
+        np.testing.assert_allclose(rel[0], np.eye(4), atol=1e-12)
+        assert os.path.exists(os.path.join(out, "pose_2.npy"))
+        n = C.export_depth_maps(str(tmp_path), out)
+        assert n == 3
+        depth = np.load(os.path.join(out, "depth_00000.npy"))
+        assert depth.shape == (48, 64) and (depth >= 0).all() and depth.max() > 0
+
+
+def test_camera_metrics_golden_vs_reference_source():
+    """Execute the reference's metric functions (extracted via ast from the
+    read-only source) on random trajectories and compare against
+    eval/camera_metrics — a true oracle, not a transcription."""
+    import ast
+
+    import torch
+
+    ns = {"torch": torch, "Tensor": torch.Tensor}
+    wanted = {"calc_roterr", "calc_transerr", "calc_cammc", "metric",
+              "normalize_t", "rt34_to_44", "relative_pose"}
+    for path in ("/root/reference/CamContextI2V/03_evaluation.py",
+                 "/root/reference/CamContextI2V/utils/evaluation.py"):
+        tree = ast.parse(open(path).read())
+        for node in tree.body:
+            if isinstance(node, ast.FunctionDef) and node.name in wanted:
+                code = ast.Module(body=[node], type_ignores=[])
+                # strip annotations the namespace can't resolve
+                for sub in ast.walk(node):
+                    if isinstance(sub, ast.arg):
+                        sub.annotation = None
+                node.returns = None
+                exec(compile(code, path, "exec"), ns)
+
+    from camc2v_tpu.eval import camera_metrics as M
+
+    rng = np.random.default_rng(3)
+    def traj(seed):
+        r = np.random.default_rng(seed)
+        out = []
+        for i in range(6):
+            a, b, c = r.normal(size=3) * 0.3
+            Rz = np.array([[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0], [0, 0, 1]])
+            Ry = np.array([[np.cos(b), 0, np.sin(b)], [0, 1, 0], [-np.sin(b), 0, np.cos(b)]])
+            rt = np.eye(4)
+            rt[:3, :3] = Rz @ Ry
+            rt[:3, 3] = r.normal(size=3)
+            out.append(rt)
+        return np.stack(out)
+
+    c1, c2 = traj(1), traj(2)
+    ref_rot, ref_trans, ref_cammc = ns["metric"](
+        torch.from_numpy(c1), torch.from_numpy(c2)
+    )
+    rot, trans, cammc = M.camera_metric(c1, c2)
+    np.testing.assert_allclose(rot, ref_rot, rtol=1e-6)
+    np.testing.assert_allclose(trans, ref_trans, rtol=1e-6)
+    np.testing.assert_allclose(cammc, ref_cammc, rtol=1e-6)
+
+    # relative_pose golden too (utils/evaluation.py:638-643)
+    rel_ref = ns["relative_pose"](torch.from_numpy(c1), mode="left").numpy()
+    np.testing.assert_allclose(M.relative_pose(c1, "left"), rel_ref, atol=1e-10)

@@ -35,3 +35,25 @@ def test_i3d_logits_and_pool_variants():
     # identical trunk params: pooled features come before the logits head
     out_pool = pool_net.apply(v, x)
     assert out_pool.shape == (1, 1024)
+
+
+def test_frechet_distance_known_values():
+    """Closed-form checks: FD between diagonal Gaussians is
+    |m1-m2|^2 + sum((sqrt(s1)-sqrt(s2))^2)."""
+    from camc2v_tpu.eval.fvd import frechet_distance
+
+    d = 6
+    rng = np.random.default_rng(0)
+    m1 = rng.normal(size=d)
+    m2 = rng.normal(size=d)
+    s1 = np.diag(rng.uniform(0.5, 2.0, d))
+    s2 = np.diag(rng.uniform(0.5, 2.0, d))
+    want = float(((m1 - m2) ** 2).sum() + ((np.sqrt(np.diag(s1)) - np.sqrt(np.diag(s2))) ** 2).sum())
+    got = frechet_distance(m1, s1, m2, s2)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # identical distributions -> 0
+    assert abs(frechet_distance(m1, s1, m1, s1)) < 1e-8
+    # invariant under joint rotation
+    q, _ = np.linalg.qr(rng.normal(size=(d, d)))
+    got_rot = frechet_distance(q @ m1, q @ s1 @ q.T, q @ m2, q @ s2 @ q.T)
+    np.testing.assert_allclose(got_rot, want, rtol=1e-5)

@@ -273,3 +273,64 @@ def test_ddim_step_parity(pairs):
 
     np.testing.assert_allclose(np.asarray(x_prev), _tj(x_prev_ref), rtol=5e-3, atol=5e-4)
     np.testing.assert_allclose(np.asarray(pred_x0), _tj(pred_x0_ref), rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.parametrize(
+    "variant",
+    ["epipolar_hybrid_attention", "epipolar_hybrid_attention_v2",
+     "only_self_pixel_on_current_frame", "current_frame_as_register_token"],
+)
+def test_epipolar_mask_variants_golden(pairs, variant):
+    """The mask fallback/identity variants vs the reference get_epipolar_mask
+    (VERDICT round-1 weak #7: these paths silently drift -> RotErr parity dies).
+
+    Diagonal (t==t) blocks are FP-chaotic (zero translation) and excluded as in
+    test_camera_condition_parity; the variants' *structural* edits (identity
+    rows, same-frame overrides, fallback rows) are exact off-diagonal."""
+    from camc2v_tpu.camera import geometry as G
+    from camc2v_tpu.nn.epipolar import EpipolarConfig
+
+    ref, mine, params = pairs("cami2v")
+    orig_flags = {
+        f: getattr(ref.epipolar_config, f)
+        for f in ["epipolar_hybrid_attention", "epipolar_hybrid_attention_v2",
+                  "only_self_pixel_on_current_frame", "current_frame_as_register_token"]
+    }
+    batch = refload.make_batch(b=2)
+    K_t = torch.from_numpy(batch["camera_intrinsics"]).float()
+    w2c = torch.from_numpy(batch["RT"]).float()
+    with torch.no_grad():
+        c2w = w2c.inverse()
+        rel = ref.get_relative_pose(c2w, torch.zeros(2, dtype=torch.long), mode="left", normalize_T0=False)
+        pairs_rt = ref.get_relative_c2w_RT_pairs(rel)
+        R_, t_ = pairs_rt[..., :3, :3], pairs_rt[..., :3, 3:4]
+        F_ref = ref.get_fundamental_matrix(K_t.unsqueeze(1), R_, t_)
+
+        # flip the variant flag on the reference's (mutable) epipolar config
+        for flag in ["epipolar_hybrid_attention", "epipolar_hybrid_attention_v2",
+                     "only_self_pixel_on_current_frame", "current_frame_as_register_token"]:
+            setattr(ref.epipolar_config, flag, flag == variant)
+        d = 8
+        try:
+            mask_ref = ref.get_epipolar_mask(F_ref, T, IMG // d, IMG // d, d).numpy()
+        finally:
+            for f, val in orig_flags.items():  # the fixture caches this model
+                setattr(ref.epipolar_config, f, val)
+
+    cfg = EpipolarConfig(
+        origin_h=IMG, origin_w=IMG, attention_resolution=(2, 1), num_register_tokens=2,
+        **{variant: True},
+    )
+    F_my = jnp.asarray(F_ref.numpy())
+    mask_my = np.asarray(G.epipolar_mask(F_my, T, IMG // d, IMG // d, d, cfg))
+
+    hw = (IMG // d) ** 2
+    bm = mask_my.reshape(-1, T, hw, T, hw)
+    br = mask_ref.reshape(-1, T, hw, T, hw)
+    offdiag = ~np.eye(T, dtype=bool)[None, :, None, :, None]
+    np.testing.assert_array_equal(bm & offdiag, br & offdiag, err_msg=variant)
+    # same-frame structural overrides are deterministic even on the diagonal
+    if variant in ("only_self_pixel_on_current_frame", "current_frame_as_register_token"):
+        diag_m = bm[:, np.arange(T), :, np.arange(T), :]
+        diag_r = br[:, np.arange(T), :, np.arange(T), :]
+        np.testing.assert_array_equal(diag_m, diag_r, err_msg=f"{variant} diagonal")
