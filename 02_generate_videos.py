@@ -75,7 +75,8 @@ def main():
     if args.sampling_strategy:
         ds_params["additional_cond_frames"] = args.sampling_strategy
     ds = RealEstate10K(tokenizer=tokenizer, **ds_params)
-    dl = DataLoader(ds, batch_size=data_cfg.get("batch_size", 1), shuffle=False, drop_last=False)
+    dl = DataLoader(ds, batch_size=data_cfg.get("batch_size", 1), shuffle=False, drop_last=False,
+                    num_workers=data_cfg.get("num_workers", 2))
 
     sample_kwargs = dict(
         ddim_steps=args.ddim_steps,

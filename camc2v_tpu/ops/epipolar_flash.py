@@ -242,7 +242,7 @@ def _epipolar_flash_fwd_impl(
 
     tile_any = epipolar_tile_map(lines, t, h, w, downsample, block_q, block_k)
 
-    hb = _head_group(heads)
+    hb = _head_group(heads, d, block_q, block_k, has_mask=False)
     g = heads // hb
     qt = (q * jnp.asarray(scale, q.dtype)).transpose(0, 2, 1, 3).reshape(b * g, hb, lq, d)
     kt = k.transpose(0, 2, 1, 3).reshape(b * g, hb, lk, d)

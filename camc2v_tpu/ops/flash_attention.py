@@ -69,10 +69,25 @@ def _pad_keys(k, v, mask, lq):
     return k, v, mask
 
 
-def _head_group(h: int) -> int:
-    """Largest divisor of h that is <= 8 (VMEM budget per grid step)."""
+def _head_group(h: int, d: int = 64, block_q: int = BLOCK_Q, block_k: int = BLOCK_K,
+                has_mask: bool = False) -> int:
+    """Largest divisor of h whose per-step VMEM footprint fits.
+
+    Budget model (double-buffered q/k/v tiles + mask tile + f32 scratch),
+    calibrated on a v5e: hb=5 with a mask at BK=1024 fits (~5.3 MB est), hb=8
+    OOMs (23.5 MB actual vs 16 MB scoped vmem) — the compiler's effective
+    multiplier over this estimate is ~3x, so cap the estimate at 6 MB.
+    """
+    budget = 6 * 1024 * 1024
     for g in range(min(h, 8), 0, -1):
-        if h % g == 0:
+        if h % g != 0:
+            continue
+        est = (
+            2 * g * (block_q + 2 * block_k) * d * 2  # q + k + v tiles, 2 buffers
+            + (2 * block_q * block_k * 4 if has_mask else 0)  # mask tile (i32)
+            + g * block_q * (d + 2) * 4  # f32 scratch
+        )
+        if est <= budget:
             return g
     return 1
 
@@ -168,7 +183,7 @@ def _flash_fwd(q, k, v, mask, scale):
     lk = k.shape[1]
     nq = lq // BLOCK_Q
     nk = lk // BLOCK_K
-    hb = _head_group(h)
+    hb = _head_group(h, d, BLOCK_Q, BLOCK_K, has_mask=mask is not None)
     g = h // hb  # head groups per batch element
 
     # fold the scale into q; (B, L, H, D) -> (B*G, Hb, L, D)
