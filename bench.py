@@ -173,7 +173,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true", help="CPU smoke run (tiny config)")
     ap.add_argument("--unet-only", action="store_true", help="benchmark one UNet eval only")
-    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--steps", type=int, default=DDIM_STEPS)
     args = ap.parse_args()
 

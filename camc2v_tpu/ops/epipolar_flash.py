@@ -103,41 +103,84 @@ def _tile_rect_corners(h: int, w: int, downsample: int, block_k: int):
     return np.asarray(corners, dtype=np.float32)
 
 
+SUBTILE = 256  # skip granularity within a k-tile (swept: 26% kernel win at ds8)
+
+
 def epipolar_tile_map(
     lines: jax.Array, t: int, h: int, w: int, downsample: int,
     block_q: int = BLOCK_Q, block_k: int = BLOCK_K,
 ) -> jax.Array:
-    """(B, nQ, nK+1) int32 bitmap of key tiles any query in the q-tile can see.
+    """(B, nQ, (nK+1)*NSUB) int32 bitmap of SUBTILE-granular key-range
+    visibility per q-tile, flattened for SMEM (4-D scalar operands tile-pad
+    catastrophically).
 
-    Exactly-safe: a tile is marked empty only when the continuous hull
+    Exactly-safe: a subtile is marked empty only when the continuous hull
     distance of every query line is >= thresh, which lower-bounds the discrete
-    pixel distance. The trailing +1 tile is the register tile (always on).
+    pixel distance. The hull min/max of the affine a*x + b*y + c over an
+    axis-aligned rectangle separates per axis (min_corners = min(a*x0, a*x1)
+    + min(b*y0, b*y1) + c), so no 4-corner enumeration is materialised — the
+    naive (B, Lq, T, tiles, 4) corner einsum cost ~7 ms/step and STALLED the
+    kernel through its scalar-prefetch dependency.
+
+    The register tile contributes one active subtile (the learned tokens live
+    in its first SUBTILE positions).
     """
     b, lq, t2, _ = lines.shape
     hw = h * w
-    sub_bk = min(block_k, hw)  # hull rects never span frames
-    corners = jnp.asarray(_tile_rect_corners(h, w, downsample, sub_bk))  # (tpf, 4, 3)
-    vals = jnp.einsum("bqtc,krc->bqtkr", lines, corners)  # (B, Lq, T2, tpf, 4)
-    sign_change = (jnp.min(vals, -1) < 0) & (jnp.max(vals, -1) > 0)
-    min_abs = jnp.where(sign_change, 0.0, jnp.min(jnp.abs(vals), -1))  # NaN-safe: NaN rows -> False below
+    sub = min(SUBTILE, block_k, hw)
+    nsub = block_k // sub
+    rows_per_sub = sub // w
+    n_subs_frame = hw // sub
     thresh = downsample * math.sqrt(2.0) / 2.0
-    hit = min_abs < thresh  # (B, Lq, T2, tpf); NaN < t == False
+
+    a = lines[..., 0]  # (B, Lq, T2)
+    bb = lines[..., 1]
+    c = lines[..., 2]
+    x0 = pix2coord(0.0, downsample)
+    x1 = pix2coord(float(w - 1), downsample)
+    y0s = pix2coord(
+        jnp.arange(n_subs_frame, dtype=jnp.float32) * rows_per_sub, downsample
+    )  # (n_subs_frame,)
+    y1s = pix2coord(
+        (jnp.arange(n_subs_frame, dtype=jnp.float32) + 1) * rows_per_sub - 1, downsample
+    )
+    ax_min = jnp.minimum(a * x0, a * x1)  # (B, Lq, T2)
+    ax_max = jnp.maximum(a * x0, a * x1)
+    by0 = bb[..., None] * y0s  # (B, Lq, T2, S)
+    by1 = bb[..., None] * y1s
+    by_min = jnp.minimum(by0, by1)
+    by_max = jnp.maximum(by0, by1)
+    vmin = ax_min[..., None] + by_min + c[..., None]  # (B, Lq, T2, S)
+    vmax = ax_max[..., None] + by_max + c[..., None]
+    sign_change = (vmin < 0) & (vmax > 0)
+    # all corners same sign: min |v| over the hull is vmin (all > 0) or -vmax
+    min_abs = jnp.where(sign_change, 0.0, jnp.where(vmin > 0, vmin, -vmax))
+    hit = min_abs < thresh  # NaN-lines -> False
     nq = lq // block_q
-    nk_frames = (t2 * hw) // block_k  # frame tiles (register tile excluded)
-    hit = hit.reshape(b, nq, block_q, nk_frames, -1).any(axis=(2, 4))
-    reg = jnp.ones((b, nq, 1), bool)
+    hit = hit.reshape(b, nq, block_q, t2 * n_subs_frame).any(axis=2)
+    reg = jnp.zeros((b, nq, nsub), bool).at[..., 0].set(True)
     return jnp.concatenate([hit, reg], axis=-1).astype(jnp.int32)
 
 
 def _v2_kernel(
-    tile_any_ref, q_ref, k_ref, v_ref, lines_ref, o_ref,
+    sub_any_ref, q_ref, k_ref, v_ref, lines_ref, o_ref,
     m_scratch, l_scratch, acc_scratch,
-    *, nk, g, block_k, w, hw, downsample, thresh, num_registers, tiles_per_frame,
-    frames_per_tile,
+    *, nk, g, block_k, w, hw, downsample, thresh, num_registers, sub,
 ):
+    """Online-softmax attention over one (q-tile, k-tile) pair with the mask
+    computed in-kernel and SUBTILE-granular skipping.
+
+    The inner static loop visits block_k//sub key sub-ranges; each runs its
+    QK dot, line-distance mask, and softmax-state update only when the
+    scalar-prefetched hull-bound bitmap says the sub-range can be visible.
+    Skipping at sub-range granularity inside one grid step avoids the
+    per-grid-step overhead that made a BK=256 grid slower despite 34% skips
+    (swept on a v5e: 7.4 ms vs 10.0 ms per ds8 flagship layer).
+    """
     bg = pl.program_id(0)
     qi = pl.program_id(1)
     ki = pl.program_id(2)
+    nsub = block_k // sub
 
     @pl.when(ki == 0)
     def _():
@@ -145,50 +188,47 @@ def _v2_kernel(
         l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
-    @pl.when(tile_any_ref[bg // g, qi, ki] != 0)
-    def _():
-        q = q_ref[0]  # (Hb, BQ, D) — scale pre-folded
-        kb = k_ref[0]
-        vb = v_ref[0]
-        s = jax.lax.dot_general(
-            q, kb, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )  # (Hb, BQ, BK)
+    qb = q_ref[0]  # (Hb, BQ, D) — scale pre-folded
+    is_register_tile = ki == nk - 1
+    reg_flag = is_register_tile.astype(jnp.float32)  # traced scalar 0/1
+    kidx0 = jax.lax.broadcasted_iota(jnp.int32, (1, sub), 1)
 
-        is_register_tile = ki == nk - 1
-        # key-pixel coordinates; 2-D iota — Mosaic does not lower 1-D iotas.
-        # Two layouts: block_k <= hw (tile = sub-range of ONE frame) or
-        # block_k == frames_per_tile*hw (tile spans several whole frames, each
-        # with its own epipolar line set — small static loop).
-        if frames_per_tile == 1:
-            kidx = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
-            kfree = (ki % tiles_per_frame) * block_k + kidx
-            px = pix2coord((kfree % w).astype(jnp.float32), downsample)  # (1, BK)
-            py = pix2coord((kfree // w).astype(jnp.float32), downsample)
-            lines = lines_ref[0, 0]  # (BQ, 3)
-            dist = jnp.abs(
-                lines[:, 0:1] * px + lines[:, 1:2] * py + lines[:, 2:3]
-            )  # (BQ, BK)
+    def sub_pen(j):
+        """(BQ, sub) additive penalty of sub-range j (mask / register blend).
+
+        Pixel coordinates are COMPILE-TIME constants whenever the sub-range's
+        frame offset is static (every flagship layout: tile == frame or tile
+        spans whole frames) — traced integer div/mod on the VPU doubled the
+        kernel time when coords were derived from the grid index.
+        """
+        flat = j * sub  # static position of the sub-range within the tile
+        tpf = max(1, hw // block_k)
+        if block_k <= hw:
+            line_row = 0
+            if tpf == 1:
+                off = flat  # tile == frame: fully static
+            else:
+                off = (ki % tpf) * block_k + flat  # traced (no flagship case)
         else:
-            kidx = jax.lax.broadcasted_iota(jnp.int32, (1, hw), 1)
-            px = pix2coord((kidx % w).astype(jnp.float32), downsample)  # (1, hw)
-            py = pix2coord((kidx // w).astype(jnp.float32), downsample)
-            parts = []
-            for j in range(frames_per_tile):
-                lj = lines_ref[0, j]  # (BQ, 3)
-                parts.append(jnp.abs(lj[:, 0:1] * px + lj[:, 1:2] * py + lj[:, 2:3]))
-            dist = jnp.concatenate(parts, axis=1)  # (BQ, BK)
-            kidx = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
-        # Mosaic mis-lowers vector selects that mix a broadcast scalar
-        # predicate with i1 vectors — blend the two penalties arithmetically
-        reg_flag = is_register_tile.astype(jnp.float32)  # traced scalar 0/1
-        pen_mask = jnp.where(dist < thresh, 0.0, NEG_INF)  # (BQ, BK)
-        pen_reg = jnp.where(kidx < num_registers, 0.0, NEG_INF)  # (1, BK)
-        pen = pen_mask * (1.0 - reg_flag) + jnp.broadcast_to(pen_reg, pen_mask.shape) * reg_flag
-        s = s + pen[None]
+            off = flat % hw  # whole frames per tile: static
+            line_row = flat // hw
+        # `off` is a python int on every flagship layout, so kfree depends only
+        # on the iota — loop-invariant and hoistable (pallas_call rejects
+        # captured constant arrays, so it cannot be a precomputed table)
+        kfree = off + kidx0
+        px = pix2coord((kfree % w).astype(jnp.float32), downsample)  # (1, sub)
+        py = pix2coord((kfree // w).astype(jnp.float32), downsample)
+        lines = lines_ref[0, line_row]  # (BQ, 3)
+        dist = jnp.abs(lines[:, 0:1] * px + lines[:, 1:2] * py + lines[:, 2:3])
+        # Mosaic mis-lowers selects mixing broadcast scalar predicates with
+        # i1 vectors — blend the two penalties arithmetically
+        pen_mask = jnp.where(dist < thresh, 0.0, NEG_INF)  # (BQ, sub)
+        pen_reg = jnp.where(j * sub + kidx0 < num_registers, 0.0, NEG_INF)
+        return pen_mask * (1.0 - reg_flag) + jnp.broadcast_to(pen_reg, pen_mask.shape) * reg_flag
 
+    def update(s, vb):
         m_prev = m_scratch[:]
-        m_cur = jnp.max(s, axis=2, keepdims=True)
-        m_new = jnp.maximum(jnp.maximum(m_prev, m_cur), M_FLOOR)
+        m_new = jnp.maximum(jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True)), M_FLOOR)
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_scratch[:] = alpha * l_scratch[:] + jnp.sum(p, axis=2, keepdims=True)
@@ -198,11 +238,48 @@ def _v2_kernel(
         )
         m_scratch[:] = m_new
 
+    if block_k <= hw:
+        # one frame per tile: sub-ranges share the line set; skip each
+        # sub-range independently (26% ds8 win — softmax-state updates are
+        # cheap relative to the skipped dot+mask+exp work)
+        for j in range(nsub):
+            @pl.when(sub_any_ref[bg // g, qi, ki * nsub + j] != 0)
+            def _(j=j):
+                kb = k_ref[0, :, j * sub:(j + 1) * sub, :]
+                vb = v_ref[0, :, j * sub:(j + 1) * sub, :]
+                s = jax.lax.dot_general(
+                    qb, kb, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+                ) + sub_pen(j)[None]
+                update(s, vb)
+    else:
+        # tile spans several whole frames (low-resolution levels): splitting
+        # the update per frame measured SLOWER (2.8 vs 1.7 ms at ds16) — run
+        # one batched dot + ONE softmax update with concatenated penalties,
+        # skipping only when the whole tile is invisible
+        any_sub = sub_any_ref[bg // g, qi, ki * nsub]
+        for j in range(1, nsub):
+            any_sub = any_sub | sub_any_ref[bg // g, qi, ki * nsub + j]
+
+        @pl.when(any_sub != 0)
+        def _():
+            kb = k_ref[0]
+            vb = v_ref[0]
+            s = jax.lax.dot_general(
+                qb, kb, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )
+            pen = jnp.concatenate([sub_pen(j) for j in range(nsub)], axis=1)
+            update(s + pen[None], vb)
+
     @pl.when(ki == nk - 1)
     def _():
         l = l_scratch[:]
         safe_l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_scratch[:] / safe_l).astype(o_ref.dtype)
+        out = acc_scratch[:] / safe_l  # (Hb, BQ, D)
+        # token-major write: letting XLA fold the (B,H,L,D)->(B,L,H,D)
+        # transpose into the custom-call result layout made every STORE
+        # strided and doubled the kernel time (14.75 vs 7.2 ms at ds8); the
+        # VMEM-local swap here is free by comparison
+        o_ref[0] = jnp.swapaxes(out, 0, 1).astype(o_ref.dtype)
 
 
 def _epipolar_flash_fwd_impl(
@@ -238,6 +315,7 @@ def _epipolar_flash_fwd_impl(
     nk = lk // block_k
     tiles_per_frame = max(1, hw // block_k)
     frames_per_tile = max(1, block_k // hw)
+    sub = min(SUBTILE, block_k, hw)
     thresh = downsample * math.sqrt(2.0) / 2.0
 
     tile_any = epipolar_tile_map(lines, t, h, w, downsample, block_q, block_k)
@@ -250,7 +328,10 @@ def _epipolar_flash_fwd_impl(
 
     q_spec = pl.BlockSpec((1, hb, block_q, d), lambda bg, qi, ki, *_: (bg, 0, qi, 0))
     k_spec = pl.BlockSpec((1, hb, block_k, d), lambda bg, qi, ki, *_: (bg, 0, ki, 0))
-    o_spec = pl.BlockSpec((1, hb, block_q, d), lambda bg, qi, ki, *_: (bg, 0, qi, 0))
+    # output is (B, Lq, H, D) token-major; each head group writes its hb slice
+    o_spec = pl.BlockSpec(
+        (1, block_q, hb, d), lambda bg, qi, ki, *_, _g=g: (bg // _g, qi, bg % _g, 0)
+    )
     # lines arrive (B, Lq, T, 3); transpose to (B, T, Lq, 3) so the sliced
     # block's last two dims (BQ, 3) satisfy Mosaic's (8, 128)-or-full rule.
     # Block = the lines of this q-tile in the key frame of tile ki (clamped
@@ -286,17 +367,16 @@ def _epipolar_flash_fwd_impl(
     out = pl.pallas_call(
         functools.partial(
             _v2_kernel, nk=nk, g=g, block_k=block_k, w=w, hw=hw, downsample=downsample,
-            thresh=thresh, num_registers=num_registers, tiles_per_frame=tiles_per_frame,
-            frames_per_tile=frames_per_tile,
+            thresh=thresh, num_registers=num_registers, sub=sub,
         ),
-        out_shape=jax.ShapeDtypeStruct((b * g, hb, lq, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, lq, heads, d), q.dtype),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=jax.default_backend() == "cpu",
     )(tile_any, qt, kt, vt, lines_t)
-    return out.reshape(b, heads, lq, d).transpose(0, 2, 1, 3)
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
