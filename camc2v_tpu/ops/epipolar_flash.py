@@ -166,6 +166,7 @@ def _v2_kernel(
     sub_any_ref, q_ref, k_ref, v_ref, lines_ref, o_ref,
     m_scratch, l_scratch, acc_scratch,
     *, nk, g, block_k, w, hw, downsample, thresh, num_registers, sub,
+    token_major,
 ):
     """Online-softmax attention over one (q-tile, k-tile) pair with the mask
     computed in-kernel and SUBTILE-granular skipping.
@@ -275,11 +276,14 @@ def _v2_kernel(
         l = l_scratch[:]
         safe_l = jnp.where(l == 0.0, 1.0, l)
         out = acc_scratch[:] / safe_l  # (Hb, BQ, D)
-        # token-major write: letting XLA fold the (B,H,L,D)->(B,L,H,D)
-        # transpose into the custom-call result layout made every STORE
-        # strided and doubled the kernel time (14.75 vs 7.2 ms at ds8); the
-        # VMEM-local swap here is free by comparison
-        o_ref[0] = jnp.swapaxes(out, 0, 1).astype(o_ref.dtype)
+        if token_major:
+            # token-major write: letting XLA fold the (B,H,L,D)->(B,L,H,D)
+            # transpose into the custom-call result layout made every STORE
+            # strided and doubled the kernel time (14.75 vs 7.2 ms at ds8);
+            # the VMEM-local swap here is free by comparison
+            o_ref[0] = jnp.swapaxes(out, 0, 1).astype(o_ref.dtype)
+        else:
+            o_ref[0] = out.astype(o_ref.dtype)
 
 
 def _epipolar_flash_fwd_impl(
@@ -328,10 +332,15 @@ def _epipolar_flash_fwd_impl(
 
     q_spec = pl.BlockSpec((1, hb, block_q, d), lambda bg, qi, ki, *_: (bg, 0, qi, 0))
     k_spec = pl.BlockSpec((1, hb, block_k, d), lambda bg, qi, ki, *_: (bg, 0, ki, 0))
-    # output is (B, Lq, H, D) token-major; each head group writes its hb slice
-    o_spec = pl.BlockSpec(
-        (1, block_q, hb, d), lambda bg, qi, ki, *_, _g=g: (bg // _g, qi, bg % _g, 0)
-    )
+    # Single head group: write (B, Lq, H, D) token-major straight from the
+    # kernel. With g > 1 the head-block dim hb < heads violates Mosaic's
+    # block constraints, so those levels keep the heads-major output + an XLA
+    # transpose (cheap at the small low-resolution shapes where g > 1).
+    token_major = g == 1
+    if token_major:
+        o_spec = pl.BlockSpec((1, block_q, hb, d), lambda bg, qi, ki, *_: (bg, qi, 0, 0))
+    else:
+        o_spec = pl.BlockSpec((1, hb, block_q, d), lambda bg, qi, ki, *_: (bg, 0, qi, 0))
     # lines arrive (B, Lq, T, 3); transpose to (B, T, Lq, 3) so the sliced
     # block's last two dims (BQ, 3) satisfy Mosaic's (8, 128)-or-full rule.
     # Block = the lines of this q-tile in the key frame of tile ki (clamped
@@ -367,16 +376,20 @@ def _epipolar_flash_fwd_impl(
     out = pl.pallas_call(
         functools.partial(
             _v2_kernel, nk=nk, g=g, block_k=block_k, w=w, hw=hw, downsample=downsample,
-            thresh=thresh, num_registers=num_registers, sub=sub,
+            thresh=thresh, num_registers=num_registers, sub=sub, token_major=token_major,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, lq, heads, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, lq, heads, d) if token_major else (b * g, hb, lq, d), q.dtype
+        ),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=jax.default_backend() == "cpu",
     )(tile_any, qt, kt, vt, lines_t)
-    return out
+    if token_major:
+        return out
+    return out.reshape(b, heads, lq, d).transpose(0, 2, 1, 3)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

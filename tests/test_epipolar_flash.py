@@ -248,3 +248,22 @@ def test_big_input_two_phase_kernel():
     )
     g = jax.grad(lambda a: jnp.sum(group_norm_fused_big(a, scale, bias, num_groups=32) ** 2))(x)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_kernel_head_groups():
+    """heads=10 -> hb=5, g=2: the heads-major output path (g>1)."""
+    F = _realistic_F()
+    lines = epipolar_lines(F, H, W, DS)
+    rng = np.random.default_rng(9)
+    heads, d = 10, 64
+    q = jnp.asarray(rng.normal(size=(B, LQ, heads, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, LQ + BK, heads, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, LQ + BK, heads, d)), jnp.float32)
+    out2 = epipolar_flash_attention(
+        q, k, v, lines, t=T, h=H, w=W, downsample=DS, num_registers=R,
+        block_q=BQ, block_k=BK,
+    )
+    mask = materialize_mask(lines, T, H, W, DS)
+    regmask = jnp.broadcast_to((jnp.arange(BK) < R)[None, None], (B, LQ, BK))
+    out1 = flash_attention(q, k, v, mask=jnp.concatenate([mask, regmask], axis=-1))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out1), atol=2e-6)
