@@ -38,6 +38,10 @@ def parse_args():
     ap.add_argument("--camera-cfg", type=float, default=1.0)
     ap.add_argument("--ddim-steps", type=int, default=25)
     ap.add_argument("--out", default="results/demo")
+    ap.add_argument("--video-length", type=int, default=16)
+    ap.add_argument("--resolution", type=int, nargs=2, default=(256, 256), metavar=("H", "W"))
+    ap.add_argument("--dtype", choices=("bfloat16", "float32"), default="bfloat16",
+                    help="compute dtype (float32 for CPU debugging: bf16 is emulated there)")
     ap.add_argument("--gradio", action="store_true")
     return ap.parse_args()
 
@@ -46,9 +50,18 @@ def build_engine(args):
     from camc2v_tpu.main.harness import setup_logger
     from camc2v_tpu.main.runtime import Image2Video
 
+    import jax.numpy as jnp
+
     setup_logger(None)
     configs = dict(m.split("=", 1) for m in args.models)
-    return Image2Video(configs, result_dir=args.out), configs
+    engine = Image2Video(
+        configs,
+        result_dir=args.out,
+        video_length=args.video_length,
+        resolution=tuple(args.resolution),
+        dtype=jnp.dtype(args.dtype),
+    )
+    return engine, configs
 
 
 def run_headless(args):

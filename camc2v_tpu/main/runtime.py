@@ -58,12 +58,22 @@ class Image2Video:
         self.seed = seed
         self.dtype = dtype
         self._models: dict[str, tuple[Any, Any]] = {}
-        if tokenizer is None:
-            from camc2v_tpu.data.tokenizer import default_tokenizer
-
-            tokenizer = default_tokenizer()
+        # None -> resolved lazily from the first built model's text-tower config
+        # (context length / vocab must match the model, as in the reference,
+        # where the cond stage owns tokenization: lvdm FrozenOpenCLIPEmbedder)
         self.tokenizer = tokenizer
         os.makedirs(result_dir, exist_ok=True)
+
+    def _get_tokenizer(self, model):
+        if self.tokenizer is None:
+            from camc2v_tpu.data.tokenizer import HashTokenizer, default_tokenizer
+
+            tcfg = model.config.clip_text
+            tok = default_tokenizer(context_length=tcfg.context_length)
+            if isinstance(tok, HashTokenizer) and tcfg.vocab_size != tok.vocab_size:
+                tok = HashTokenizer(tcfg.vocab_size, tcfg.context_length)
+            self.tokenizer = tok
+        return self.tokenizer
 
     def _get_model(self, name: str):
         """Lazy build + checkpoint load (reference: runtime.py:85-137, 203-219)."""
@@ -173,7 +183,7 @@ class Image2Video:
             video = np.tile(cond_image[None], (T, 1, 1, 1))
             batch = {
                 "video": jnp.asarray(video)[None],
-                "caption_tokens": jnp.asarray(self.tokenizer(prompt), jnp.int32),
+                "caption_tokens": jnp.asarray(self._get_tokenizer(model)(prompt), jnp.int32),
                 "frame_stride": jnp.full((1,), frame_stride, jnp.int32),
                 "camera_intrinsics": jnp.asarray(K, jnp.float32)[None],
                 "RT": jnp.asarray(np.linalg.inv(c2w), jnp.float32)[None],

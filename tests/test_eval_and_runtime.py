@@ -327,3 +327,44 @@ def test_camera_metrics_golden_vs_reference_source():
     # relative_pose golden too (utils/evaluation.py:638-643)
     rel_ref = ns["relative_pose"](torch.from_numpy(c1), mode="left").numpy()
     np.testing.assert_allclose(M.relative_pose(c1, "left"), rel_ref, atol=1e-10)
+
+
+def test_03_evaluation_cli_smoke(tmp_path, monkeypatch, capsys):
+    """Drive the 03_evaluation.py CLI end-to-end on synthetic video dirs.
+
+    reference: CamContextI2V/03_evaluation.py:550-615 (main) — consumes the
+    per-video tree from 02_generate_videos.py and appends evaluation.csv.
+    """
+    import csv
+    import runpy
+    import sys
+
+    rng = np.random.default_rng(0)
+    gen_root = tmp_path / "generation"
+    for i in range(2):
+        gen = rng.uniform(-1, 1, (4, 32, 32, 3)).astype(np.float32)
+        gt = np.clip(gen + rng.normal(scale=0.05, size=gen.shape), -1, 1).astype(np.float32)
+        cam = rng.normal(size=(4, 19)).astype(np.float32)
+        log_evaluation(str(gen_root), f"vid{i}", gen, gt, cam, f"cap {i}", None, fps=8)
+
+    out_dir = tmp_path / "results"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["03_evaluation.py", "--path", str(gen_root), "--output", str(out_dir),
+         "--extended", "--no-lpips"],
+    )
+    runpy.run_path(os.path.join(os.path.dirname(__file__), "..", "03_evaluation.py"),
+                   run_name="__main__")
+
+    rows = list(csv.DictReader(open(out_dir / "evaluation.csv")))
+    assert len(rows) == 1 and rows[0]["n_videos"] == "2"
+    # mp4 round-trip is lossy but close: metrics (uint8 units) must be sane
+    assert 0.0 <= float(rows[0]["mse"]) < 500.0
+    assert float(rows[0]["psnr"]) > 15.0
+    assert 0.0 < float(rows[0]["ssim"]) <= 1.0
+
+    # appending a second row keeps the header intact
+    runpy.run_path(os.path.join(os.path.dirname(__file__), "..", "03_evaluation.py"),
+                   run_name="__main__")
+    rows = list(csv.DictReader(open(out_dir / "evaluation.csv")))
+    assert len(rows) == 2

@@ -197,3 +197,77 @@ def test_generation_contract(built):
         sample_kwargs=dict(ddim_steps=2, guidance_scale=1.0), max_batches=1, skip_existing=True,
     )
     assert len(written2) == 0
+
+
+# ------------------------- Image2Video runtime engine -------------------------
+
+def test_image2video_engine_chunks(workspace, tmp_path):
+    """Lazy build + trajectory pipeline + auto-regressive chunked generation.
+
+    reference: main/runtime.py:139-346 (get_image), 168-201 (trajectory).
+    """
+    import jax.numpy as jnp
+
+    from camc2v_tpu.main.runtime import Image2Video
+
+    root, cfg_path, _ = workspace
+    rng = np.random.default_rng(0)
+    engine = Image2Video(
+        {"tiny": cfg_path}, result_dir=str(tmp_path), video_length=T,
+        resolution=(IMG, IMG), dtype=jnp.float32,  # bf16 is emulated on CPU
+    )
+    img = rng.integers(0, 255, (40, 52, 3)).astype(np.uint8)
+    w2c = np.tile(np.eye(4, dtype=np.float64), (3, 1, 1))
+    w2c[:, 0, 3] = [0.0, 0.1, 0.2]
+    ctx = rng.uniform(-1, 1, (1, IMG, IMG, 3)).astype(np.float32)
+    path = engine.get_image(
+        "tiny", img, "a tiny room", trajectory=w2c,
+        context_frames=ctx, num_chunks=2, ddim_steps=2,
+        bezier_coef_a=0.3, bezier_coef_b=0.7,
+        save_name="demo",
+    )
+    assert path.endswith("demo.mp4") and os.path.exists(path)
+    from camc2v_tpu.data.video_io import VideoReader
+
+    r = VideoReader(path)
+    frames = r.read_all()
+    r.close()
+    # chunk 0 keeps all T frames; chunk 1 drops its duplicated first frame
+    assert frames.shape == (2 * T - 1, IMG, IMG, 3)
+    assert "tiny" in engine._models  # lazy cache populated
+
+
+def test_04_visualize_cli_headless(workspace, tmp_path, monkeypatch):
+    """Drive the 04_visualize.py headless CLI end-to-end (tiny config).
+
+    reference: CamContextI2V/04_visualize.py:33-315.
+    """
+    import runpy
+    import sys
+
+    import cv2
+
+    root, cfg_path, _ = workspace
+    img_path = tmp_path / "in.png"
+    rng = np.random.default_rng(1)
+    cv2.imwrite(str(img_path), rng.integers(0, 255, (40, 52, 3)).astype(np.uint8))
+    traj_path = tmp_path / "traj.txt"
+    rows = []
+    for i in range(3):
+        rt = np.hstack([np.eye(3), [[0.1 * i], [0.0], [0.0]]]).reshape(-1)
+        rows.append(" ".join(f"{v:.6f}" for v in rt))
+    traj_path.write_text("\n".join(rows))
+
+    out_dir = tmp_path / "demo"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["04_visualize.py", "--models", f"tiny={cfg_path}",
+         "--image", str(img_path), "--prompt", "hello world",
+         "--trajectory", str(traj_path), "--ddim-steps", "2",
+         "--video-length", str(T), "--resolution", str(IMG), str(IMG),
+         "--dtype", "float32", "--out", str(out_dir)],
+    )
+    script = os.path.join(os.path.dirname(__file__), "..", "04_visualize.py")
+    runpy.run_path(script, run_name="__main__")
+    vids = [f for f in os.listdir(out_dir) if f.endswith(".mp4")]
+    assert len(vids) == 1
