@@ -35,6 +35,9 @@ def parse_args():
     ap.add_argument("--num-videos", type=int, default=None)
     ap.add_argument("--continue", dest="resume", action="store_true")
     ap.add_argument("--seed", type=int, default=20240101)
+    ap.add_argument("--shard-data", action="store_true",
+                    help="run each batch as ONE data-parallel SPMD program over all "
+                         "local chips (batch_size must divide the device count)")
     ap.add_argument("--bpe_path", default=None)
     ap.add_argument("overrides", nargs="*")
     return ap.parse_args()
@@ -87,6 +90,12 @@ def main():
         camera_cfg=args.camera_cfg,
         camera_cfg_scheduler=args.camera_cfg_scheduler,
     )
+    mesh = None
+    if args.shard_data and len(jax.devices()) > 1:
+        from camc2v_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        log.info(f"sharded generation over {mesh.size} devices")
     written = generate_videos(
         model,
         params,
@@ -97,6 +106,7 @@ def main():
         max_batches=args.num_videos,
         skip_existing=args.resume,
         seed=args.seed,
+        mesh=mesh,
     )
     log.info(f"wrote {len(written)} videos to {args.out}")
 

@@ -290,6 +290,7 @@ def generate_videos(
     max_batches: Optional[int] = None,
     skip_existing: bool = True,
     seed: int = 0,
+    mesh=None,
 ) -> list[str]:
     """The generation ("test") pass: per-video evaluation directories.
 
@@ -297,12 +298,26 @@ def generate_videos(
     (main/callbacks.py:238-262) + log_evaluation (utils/save_video.py:65-156).
     `skip_existing` reproduces the reference's --continue resume semantics
     (02_generate_videos.py:523-535).
+
+    With `mesh`, batches whose global size divides the mesh run as ONE
+    data-parallel SPMD program over all chips (parallel/sampling.py) — the
+    TPU-native form of the reference's one-process-per-GPU generation;
+    remainder batches fall back to the single-device path.
     """
     import jax
 
     from camc2v_tpu.utils.save_video import log_evaluation
 
     sample_kwargs = dict(sample_kwargs or {})
+    sharded_sampler = None
+    if mesh is not None:
+        if jax.process_count() > 1:
+            # per-host mp4 writes below need the full batch addressable; use
+            # per-process meshes (rank-strided data, reference style) instead
+            raise ValueError("sharded generation expects a single-process mesh")
+        from camc2v_tpu.parallel.sampling import make_sharded_sampler
+
+        sharded_sampler = make_sharded_sampler(model, mesh, sample_kwargs)
     os.makedirs(out_dir, exist_ok=True)
     written = []
     for i, batch in enumerate(dataloader):
@@ -316,7 +331,12 @@ def generate_videos(
         ):
             continue
         device_batch = batch_to_device(batch, tokenizer)
-        videos = model.sample(params, device_batch, jax.random.key(seed + i), **sample_kwargs)
+        key = jax.random.key(seed + i)
+        local_b = len(batch["video"])
+        if sharded_sampler is not None and (local_b * jax.process_count()) % mesh.size == 0:
+            videos = sharded_sampler(params, device_batch, key)
+        else:
+            videos = model.sample(params, device_batch, key, **sample_kwargs)
         videos = np.asarray(videos)
         for j, name in enumerate(names):
             ctx = batch.get("cond_frames")
