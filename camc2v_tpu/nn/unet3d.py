@@ -123,6 +123,15 @@ class UNetModel(nn.Module):
 
         def temporal(ch_, ds, name, with_camera=True):
             n_heads, d_head = cfg.heads_for(ch_)
+            # The reference camera patch cascade skips temporal blocks whose
+            # inner dim equals init_attn's proj_in width (8 * num_head_channels)
+            # — an identity test meant to exclude init_attn itself that also
+            # excludes any LEVEL with ch == 8*num_head_channels (reference
+            # model/camcontexti2v.py:143, baseline/cami2v/cami2v.py:64,
+            # baseline/cameractrl/cameractrl.py:38). No shipped flagship level
+            # collides (320/640/1280 vs 512), but config parity requires it.
+            if cfg.addition_attention and n_heads * d_head == 8 * cfg.num_head_channels:
+                with_camera = False
             return TemporalTransformer(
                 in_channels=ch_,
                 n_heads=n_heads,

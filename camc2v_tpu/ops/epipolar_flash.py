@@ -239,10 +239,12 @@ def _v2_kernel(
         )
         m_scratch[:] = m_new
 
-    if block_k <= hw:
-        # one frame per tile: sub-ranges share the line set; skip each
-        # sub-range independently (26% ds8 win — softmax-state updates are
-        # cheap relative to the skipped dot+mask+exp work)
+    if block_k <= hw or hw > sub:
+        # sub-ranges finer than a frame: skip each independently (26% ds8 win —
+        # softmax-state updates are cheap relative to the skipped dot+mask+exp
+        # work). Covers both one-frame tiles (block_k <= hw) and multi-frame
+        # tiles at high-res levels (hw > SUBTILE), where sub_pen's line_row /
+        # pixel offsets stay compile-time static.
         for j in range(nsub):
             @pl.when(sub_any_ref[bg // g, qi, ki * nsub + j] != 0)
             def _(j=j):
@@ -253,10 +255,11 @@ def _v2_kernel(
                 ) + sub_pen(j)[None]
                 update(s, vb)
     else:
-        # tile spans several whole frames (low-resolution levels): splitting
-        # the update per frame measured SLOWER (2.8 vs 1.7 ms at ds16) — run
-        # one batched dot + ONE softmax update with concatenated penalties,
-        # skipping only when the whole tile is invisible
+        # tile spans several whole frames AND subtiles == frames
+        # (low-resolution levels, where frame-pair visibility is ~always 1):
+        # splitting the update per frame measured SLOWER (2.8 vs 1.7 ms at
+        # ds16) — run one batched dot + ONE softmax update with concatenated
+        # penalties, skipping only when the whole tile is invisible
         any_sub = sub_any_ref[bg // g, qi, ki * nsub]
         for j in range(1, nsub):
             any_sub = any_sub | sub_any_ref[bg // g, qi, ki * nsub + j]
@@ -384,6 +387,10 @@ def _epipolar_flash_fwd_impl(
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # BQ=512 needs 16.25 MB scoped vmem (256 KB over the 16 MB Mosaic
+            # default); v5e physical VMEM is far larger — scale the limit with
+            # the q-tile so bigger tiles (less k/v re-streaming) can compile
+            vmem_limit_bytes=max(1, block_q // 256) * 16 * 1024 * 1024,
         ),
         interpret=jax.default_backend() == "cpu",
     )(tile_any, qt, kt, vt, lines_t)

@@ -28,6 +28,34 @@ CTX_DIM = 16
 MODEL_CH = 32
 
 
+class Dims:
+    """Oracle model-size profile. `TINY` is the round-2 gate; `MID` (round 3)
+    exercises what tiny structurally cannot: the flagship's 4-level
+    channel_mult (1,2,4,4) ds routing (reference
+    model/modules/modified_forwards.py:64-124 log2-indexed plucker pyramid),
+    num_res_blocks=2 block bookkeeping, epipolar masks at 4 resolutions
+    (model/camcontexti2v.py:525-572), register tokens = 4, and the PLAIN
+    (production) epipolar config — no hybrid fallbacks — so the in-kernel
+    mask path dispatches at ds8 exactly as the flagship does."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+TINY = Dims(
+    T=4, IMG=32, LAT=4, CTX_DIM=16, MODEL_CH=32,
+    channel_mult=[1, 3], attention_resolutions=[2, 1], num_res_blocks=1,
+    epipolar_resolution=[2, 1], n_reg=2, pose_channels=[32, 96], nums_rb=1,
+    plain_epipolar=False,
+)
+MID = Dims(
+    T=16, IMG=128, LAT=16, CTX_DIM=16, MODEL_CH=32,
+    channel_mult=[1, 2, 4, 4], attention_resolutions=[4, 2, 1], num_res_blocks=2,
+    epipolar_resolution=[8, 4, 2, 1], n_reg=4, pose_channels=[32, 64, 128, 128],
+    nums_rb=2, plain_epipolar=True,
+)
+
+
 class Cfg(dict):
     """dict with attribute access — stands in for OmegaConf DictConfig."""
 
@@ -50,28 +78,29 @@ def load_reference():
 
 
 # =================================================================== configs
-def ref_unet_cfg(**overrides) -> Cfg:
+def ref_unet_cfg(dims: Dims = TINY, **overrides) -> Cfg:
     params = Cfg(
-        in_channels=8, out_channels=4, model_channels=MODEL_CH,
-        attention_resolutions=[2, 1], num_res_blocks=1, channel_mult=[1, 3],
-        dropout=0.0, num_head_channels=8, transformer_depth=1, context_dim=CTX_DIM,
+        in_channels=8, out_channels=4, model_channels=dims.MODEL_CH,
+        attention_resolutions=dims.attention_resolutions,
+        num_res_blocks=dims.num_res_blocks, channel_mult=dims.channel_mult,
+        dropout=0.0, num_head_channels=8, transformer_depth=1, context_dim=dims.CTX_DIM,
         use_linear=True, use_checkpoint=False, temporal_conv=True,
         temporal_attention=True, temporal_selfatt_only=True,
         use_relative_position=False, use_causal_attention=False,
-        temporal_length=T, addition_attention=True, image_cross_attention=True,
+        temporal_length=dims.T, addition_attention=True, image_cross_attention=True,
         image_cross_attention_scale_learnable=True, default_fs=3, fs_condition=True,
     )
     params.update(overrides)
     return Cfg(target="lvdm.modules.networks.openaimodel3d.UNetModel", params=params)
 
 
-def ref_first_stage_cfg() -> Cfg:
+def ref_first_stage_cfg(dims: Dims = TINY) -> Cfg:
     return Cfg(
         target="lvdm.models.autoencoder.AutoencoderKL",
         params=Cfg(
             embed_dim=4,
             ddconfig=Cfg(
-                double_z=True, z_channels=4, resolution=IMG, in_channels=3,
+                double_z=True, z_channels=4, resolution=dims.IMG, in_channels=3,
                 out_ch=3, ch=32, ch_mult=[1, 2, 4, 4], num_res_blocks=1,
                 attn_resolutions=[], dropout=0.0,
             ),
@@ -80,112 +109,117 @@ def ref_first_stage_cfg() -> Cfg:
     )
 
 
-def ref_resampler_cfg() -> Cfg:
+def ref_resampler_cfg(dims: Dims = TINY) -> Cfg:
     return Cfg(
         target="lvdm.modules.encoders.resampler.Resampler",
         params=Cfg(
             dim=32, depth=1, dim_head=8, heads=2, num_queries=16,
-            embedding_dim=12, output_dim=CTX_DIM, ff_mult=4, video_length=T,
+            embedding_dim=12, output_dim=dims.CTX_DIM, ff_mult=4, video_length=dims.T,
             use_timestep_emb=True,
         ),
     )
 
 
-def ref_pose_encoder_cfg() -> Cfg:
+def ref_pose_encoder_cfg(dims: Dims = TINY) -> Cfg:
     return Cfg(
         target="model.modules.camera_pose_encoder.CameraPoseEncoder",
         params=Cfg(
-            downscale_factor=8, channels=[32, 96], nums_rb=1, cin=384,
-            ksize=1, sk=True, use_conv=False, compression_factor=1,
+            downscale_factor=8, channels=dims.pose_channels, nums_rb=dims.nums_rb,
+            cin=384, ksize=1, sk=True, use_conv=False, compression_factor=1,
             temporal_attention_nhead=2, attention_block_types=["Temporal_Self"],
-            temporal_position_encoding=True, temporal_position_encoding_max_len=T,
+            temporal_position_encoding=True, temporal_position_encoding_max_len=dims.T,
         ),
     )
 
 
-def ref_epipolar_cfg() -> Cfg:
+def ref_epipolar_cfg(dims: Dims = TINY) -> Cfg:
     return Cfg(
-        origin_h=IMG, origin_w=IMG, is_3d_full_attn=False, num_register_tokens=2,
-        attention_resolution=[2, 1], compression_factor=1,
-        add_small_perturbation_on_zero_T=False,  # determinism: see test notes
-        epipolar_hybrid_attention=True,
+        origin_h=dims.IMG, origin_w=dims.IMG, is_3d_full_attn=False,
+        num_register_tokens=dims.n_reg,
+        attention_resolution=dims.epipolar_resolution, compression_factor=1,
+        # TINY: perturbation off + hybrid fallbacks (see module docstring).
+        # MID: the flagship PLAIN config; the test patches add_small_perturbation
+        # to a deterministic well-conditioned offset on both sides.
+        add_small_perturbation_on_zero_T=dims.plain_epipolar,
+        epipolar_hybrid_attention=not dims.plain_epipolar,
     )
 
 
-def ref_adaptor_cfg() -> Cfg:
+def ref_adaptor_cfg(dims: Dims = TINY) -> Cfg:
     return Cfg(
         target="model.modules.adaptors.MultiLatentEpipolarAdaptor",
         params=Cfg(
-            query_dim=16, num_queries=LAT * LAT, video_length=T, embedding_dim=4,
-            output_dim=4, depth=1, num_register_tokens=2,
+            query_dim=dims.CTX_DIM, num_queries=dims.LAT * dims.LAT, video_length=dims.T,
+            embedding_dim=4,
+            output_dim=4, depth=1, num_register_tokens=dims.n_reg,
             checkpoint=False, timestep_embedding_type="sinusoidal_embedded",
             use_plucker_embedding=False,
         ),
     )
 
 
-def ref_common_params() -> Cfg:
+def ref_common_params(dims: Dims = TINY) -> Cfg:
     return Cfg(
         timesteps=1000, linear_start=0.00085, linear_end=0.012,
         rescale_betas_zero_snr=False, parameterization="eps",
         num_timesteps_cond=1, loss_type="l2_log", conditioning_key="hybrid",
-        image_size=[LAT, LAT], channels=4, scale_by_std=False, scale_factor=0.18215,
+        image_size=[dims.LAT, dims.LAT], channels=4, scale_by_std=False, scale_factor=0.18215,
         use_ema=False, uncond_prob=0.05, uncond_type="empty_seq",
         rand_cond_frame=False, use_dynamic_rescale=False, base_scale=1.0,
         fps_condition_type="fs", perframe_ae=False,
         first_stage_key="video", cond_stage_key="caption",
         cond_stage_trainable=False, image_proj_model_trainable=True,
-        first_stage_config=ref_first_stage_cfg(),
+        first_stage_config=ref_first_stage_cfg(dims),
         cond_stage_config=Cfg(target="oracle_dummies.DummyTextEncoder", params=Cfg()),
         img_cond_stage_config=Cfg(target="oracle_dummies.DummyVisionEncoder", params=Cfg()),
-        image_proj_stage_config=ref_resampler_cfg(),
+        image_proj_stage_config=ref_resampler_cfg(dims),
     )
 
 
-def build_ref_model(family: str):
+def build_ref_model(family: str, dims: Dims = TINY):
     """Instantiate the reference torch model for one of the 5 families."""
     load_reference()
     import torch
 
     torch.manual_seed(0)
-    common = ref_common_params()
+    common = ref_common_params(dims)
     if family == "dynamicrafter":
         from model.dynamicrafter import DynamiCrafter as RefCls
 
-        kwargs = dict(common, unet_config=ref_unet_cfg())
+        kwargs = dict(common, unet_config=ref_unet_cfg(dims))
     elif family == "motionctrl":
         from baseline.motionctrl.motionctrl import MotionCtrl as RefCls
 
-        kwargs = dict(common, unet_config=ref_unet_cfg(), pose_dim=12)
+        kwargs = dict(common, unet_config=ref_unet_cfg(dims), pose_dim=12)
     elif family == "cameractrl":
         from baseline.cameractrl.cameractrl import CameraCtrl as RefCls
 
         kwargs = dict(
-            common, unet_config=ref_unet_cfg(),
-            pose_encoder_config=ref_pose_encoder_cfg(),
+            common, unet_config=ref_unet_cfg(dims),
+            pose_encoder_config=ref_pose_encoder_cfg(dims),
             pose_encoder_trainable=False, camera_embedding="ray",
         )
     elif family == "cami2v":
         from baseline.cami2v.cami2v import CamI2V as RefCls
 
         kwargs = dict(
-            common, unet_config=ref_unet_cfg(),
-            pose_encoder_config=ref_pose_encoder_cfg(),
+            common, unet_config=ref_unet_cfg(dims),
+            pose_encoder_config=ref_pose_encoder_cfg(dims),
             pose_encoder_trainable=False,
-            epipolar_config=ref_epipolar_cfg(),
+            epipolar_config=ref_epipolar_cfg(dims),
             add_type="add_into_temporal_attn",
         )
     elif family == "camcontext":
         from model.camcontexti2v import CamContextI2V as RefCls
 
         kwargs = dict(
-            common, unet_config=ref_unet_cfg(),
-            pose_encoder_config=ref_pose_encoder_cfg(),
+            common, unet_config=ref_unet_cfg(dims),
+            pose_encoder_config=ref_pose_encoder_cfg(dims),
             pose_encoder_trainable=False,
-            epipolar_config=ref_epipolar_cfg(),
+            epipolar_config=ref_epipolar_cfg(dims),
             add_type="add_to_main_branch",
             multi_cond_strategy="token_concat_latent_epipolar",
-            multi_latent_adaptor=ref_adaptor_cfg(),
+            multi_latent_adaptor=ref_adaptor_cfg(dims),
             use_cross_normalization=False,
             use_zero_conv_latent_input=True,
             use_semantic_branch=True,
@@ -199,7 +233,7 @@ def build_ref_model(family: str):
 
 
 # ============================================================ my-side configs
-def my_model(family: str, dtype=None):
+def my_model(family: str, dtype=None, dims: Dims = TINY):
     import jax.numpy as jnp
 
     from camc2v_tpu.camera.pose_encoder import PoseEncoderConfig
@@ -230,9 +264,11 @@ def my_model(family: str, dtype=None):
 
     def unet(**kw):
         base = dict(
-            in_channels=8, out_channels=4, model_channels=MODEL_CH, num_res_blocks=1,
-            attention_resolutions=(2, 1), channel_mult=(1, 3), num_head_channels=8,
-            context_dim=CTX_DIM, temporal_length=T, addition_attention=True,
+            in_channels=8, out_channels=4, model_channels=dims.MODEL_CH,
+            num_res_blocks=dims.num_res_blocks,
+            attention_resolutions=tuple(dims.attention_resolutions),
+            channel_mult=tuple(dims.channel_mult), num_head_channels=8,
+            context_dim=dims.CTX_DIM, temporal_length=dims.T, addition_attention=True,
             image_cross_attention=True, image_cross_attention_scale_learnable=True,
             fs_condition=True, text_context_len=77, img_tokens_per_frame=16,
         )
@@ -240,24 +276,28 @@ def my_model(family: str, dtype=None):
         return UNetConfig(**base)
 
     epi = EpipolarConfig(
-        origin_h=IMG, origin_w=IMG, attention_resolution=(2, 1), num_register_tokens=2,
-        add_small_perturbation_on_zero_T=False, epipolar_hybrid_attention=True,
+        origin_h=dims.IMG, origin_w=dims.IMG,
+        attention_resolution=tuple(dims.epipolar_resolution),
+        num_register_tokens=dims.n_reg,
+        add_small_perturbation_on_zero_T=dims.plain_epipolar,
+        epipolar_hybrid_attention=not dims.plain_epipolar,
     )
     pose_enc = PoseEncoderConfig(
-        downscale_factor=8, channels=(32, 96), nums_rb=1, cin=384, ksize=1, sk=True,
+        downscale_factor=8, channels=tuple(dims.pose_channels), nums_rb=dims.nums_rb,
+        cin=384, ksize=1, sk=True,
         use_conv=False, compression_factor=1, temporal_attention_nhead=2,
-        temporal_position_encoding=True, temporal_position_encoding_max_len=T,
+        temporal_position_encoding=True, temporal_position_encoding_max_len=dims.T,
     )
     base = dict(
         vae=VAEConfig(
-            double_z=True, z_channels=4, resolution=IMG, in_channels=3, out_ch=3,
+            double_z=True, z_channels=4, resolution=dims.IMG, in_channels=3, out_ch=3,
             ch=32, ch_mult=(1, 2, 4, 4), num_res_blocks=1, embed_dim=4,
         ),
         clip_text=CLIPTextConfig(vocab_size=64, context_length=77, width=16, heads=2, layers=1),
         clip_vision=CLIPVisionConfig(image_size=224, patch_size=112, width=16, heads=2, layers=1),
         resampler=ResamplerConfig(
             dim=32, depth=1, dim_head=8, heads=2, num_queries=16, embedding_dim=12,
-            output_dim=CTX_DIM, ff_mult=4, video_length=T, use_timestep_emb=True,
+            output_dim=dims.CTX_DIM, ff_mult=4, video_length=dims.T, use_timestep_emb=True,
         ),
         timesteps=1000, linear_start=0.00085, linear_end=0.012,
         scale_factor=0.18215, uncond_prob=0.05, loss_type="l2_log",
@@ -292,8 +332,10 @@ def my_model(family: str, dtype=None):
                 # the reference adaptor hardcodes heads=8 x dim_head=64 (inner 512)
                 # regardless of its ctor args (adaptors.py:101-106)
                 adaptor=AdaptorConfig(
-                    query_dim=16, num_queries=LAT * LAT, video_length=T, embedding_dim=4,
-                    output_dim=4, depth=1, dim_head=64, heads=8, num_register_tokens=2,
+                    query_dim=dims.CTX_DIM, num_queries=dims.LAT * dims.LAT,
+                    video_length=dims.T, embedding_dim=4,
+                    output_dim=4, depth=1, dim_head=64, heads=8,
+                    num_register_tokens=dims.n_reg,
                     timestep_embedding_type="sinusoidal_embedded", use_plucker_embedding=False,
                 ),
                 use_cross_normalization=False, use_zero_conv_latent_input=True,
@@ -305,9 +347,10 @@ def my_model(family: str, dtype=None):
 
 
 # =============================================================== batch build
-def make_batch(b: int = 1, n_ctx: int = 0, seed: int = 0):
+def make_batch(b: int = 1, n_ctx: int = 0, seed: int = 0, dims: Dims = TINY):
     """Canonical numpy batch; every pose pair gets a distinct translation so the
     epipolar masks are deterministic (no zero-T perturbation path)."""
+    T, IMG = dims.T, dims.IMG
     rng = np.random.default_rng(seed)
     video = rng.uniform(-1, 1, (b, T, IMG, IMG, 3)).astype(np.float32)
     K = np.array([[IMG, 0, IMG / 2], [0, IMG, IMG / 2], [0, 0, 1]], np.float32)
