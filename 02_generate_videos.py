@@ -47,6 +47,13 @@ def main():
     args = parse_args()
     import jax
 
+    # multi-host generation (reference: trainer.test over DDP ranks,
+    # 02_generate_videos.py:461-621 + main/trainer.py:192-194): each process
+    # takes a rank-strided shard of the dataset and runs the single-device
+    # generation path over it, writing disjoint per-video directories
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
     from camc2v_tpu.config_yaml import apply_dotlist, build_model_from_config, load_yaml
     from camc2v_tpu.data.realestate10k import DataLoader, RealEstate10K
     from camc2v_tpu.data.tokenizer import default_tokenizer
@@ -79,7 +86,8 @@ def main():
         ds_params["additional_cond_frames"] = args.sampling_strategy
     ds = RealEstate10K(tokenizer=tokenizer, **ds_params)
     dl = DataLoader(ds, batch_size=data_cfg.get("batch_size", 1), shuffle=False, drop_last=False,
-                    num_workers=data_cfg.get("num_workers", 2))
+                    num_workers=data_cfg.get("num_workers", 2),
+                    num_shards=jax.process_count(), shard_index=jax.process_index())
 
     sample_kwargs = dict(
         ddim_steps=args.ddim_steps,
@@ -91,11 +99,16 @@ def main():
         camera_cfg_scheduler=args.camera_cfg_scheduler,
     )
     mesh = None
-    if args.shard_data and len(jax.devices()) > 1:
+    if args.shard_data and len(jax.devices()) > 1 and jax.process_count() == 1:
         from camc2v_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()
         log.info(f"sharded generation over {mesh.size} devices")
+    elif jax.process_count() > 1:
+        log.info(
+            f"multi-host generation: process {jax.process_index()}/{jax.process_count()} "
+            f"over a rank-strided data shard"
+        )
     written = generate_videos(
         model,
         params,

@@ -214,14 +214,25 @@ class Trainer:
 
     def validate(self, state, max_batches: int = 8):
         """Jitted, mesh-sharded validation: the loss mean runs over the GLOBAL
-        batch (all hosts), replacing the eager per-host loop."""
+        batch (all hosts), replacing the eager per-host loop.
+
+        Evaluates with EMA params when EMA is enabled (the reference validates
+        through its LitEma swap, lvdm/models/ddpm3d.py ema_scope) and rebuilds
+        the jitted eval fn whenever the flag schedule enters a new phase."""
         import jax
 
         from camc2v_tpu.parallel import mesh as M
         from camc2v_tpu.parallel import trainer as TR
 
-        if not hasattr(self, "_eval_fn"):
-            self._eval_fn = TR.make_sharded_eval_step(self.model, self.mesh)
+        flags = self._flags_for(int(state.step))
+        if getattr(self, "_eval_flags", None) != flags or not hasattr(self, "_eval_fn"):
+            self._eval_fn = TR.make_sharded_eval_step(self.model, self.mesh, loss_kwargs=flags)
+            self._eval_flags = flags
+        params = state.params
+        ema_tag = ""
+        if state.ema_params is not None:
+            params = state.ema_params  # plain params pytree (core/ema.py)
+            ema_tag = " (EMA)"
         losses = []
         for i, batch in enumerate(self.val_dataloader):
             if i >= max_batches:
@@ -229,10 +240,10 @@ class Trainer:
             device_batch = batch_to_device(batch, self.tokenizer)
             if self.mesh is not None:
                 device_batch = M.shard_batch(self.mesh, device_batch)
-            metrics = self._eval_fn(state.params, device_batch, jax.random.key(i))
+            metrics = self._eval_fn(params, device_batch, jax.random.key(i))
             losses.append(float(metrics["loss"]))
         if losses:
-            logger.info(f"[val] loss={np.mean(losses):.4f} over {len(losses)} batches")
+            logger.info(f"[val{ema_tag}] loss={np.mean(losses):.4f} over {len(losses)} batches")
         return float(np.mean(losses)) if losses else None
 
 
@@ -260,14 +271,20 @@ def make_sample_logger(
 
     sample_kwargs = dict(sample_kwargs or {})
     os.makedirs(out_dir, exist_ok=True)
+    # FIXED logging batches, captured once: successive media logs must show the
+    # SAME examples so progress is comparable across steps (drawing from the
+    # loader head each call showed whatever the epoch iterator was up to)
+    fixed: list = []
 
     def sample_fn(step: int):
-        it = iter(dataloader)
-        for i in range(num_batches):
-            try:
-                batch = next(it)
-            except StopIteration:
-                return
+        if not fixed:
+            it = iter(dataloader)
+            for _ in range(num_batches):
+                try:
+                    fixed.append(next(it))
+                except StopIteration:
+                    break
+        for i, batch in enumerate(fixed):
             device_batch = batch_to_device(batch, tokenizer)
             videos = model.sample(get_params(), device_batch, jax.random.key(step + i), **sample_kwargs)
             videos = np.asarray(videos)

@@ -389,8 +389,8 @@ def _epipolar_flash_fwd_impl(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             # BQ=512 needs 16.25 MB scoped vmem (256 KB over the 16 MB Mosaic
             # default); v5e physical VMEM is far larger — scale the limit with
-            # the q-tile so bigger tiles (less k/v re-streaming) can compile
-            vmem_limit_bytes=max(1, block_q // 256) * 16 * 1024 * 1024,
+            # the tile sizes so bigger tiles (fewer grid steps) can compile
+            vmem_limit_bytes=max(1, block_q // 256, block_k // 1024) * 24 * 1024 * 1024,
         ),
         interpret=jax.default_backend() == "cpu",
     )(tile_any, qt, kt, vt, lines_t)

@@ -20,9 +20,11 @@ def _pose_line(i):
     return " ".join(f"{v:.6f}" for v in vals)
 
 
-@pytest.fixture(scope="module")
-def workspace(tmp_path_factory):
-    root = tmp_path_factory.mktemp("e2e")
+def make_e2e_workspace(root):
+    """Synthetic RealEstate10K-format workspace + tiny-config YAML.
+
+    Shared by the in-process harness e2e tests and the 2-process generation
+    test (tests/multihost_gen_worker.py)."""
     (root / "clips").mkdir()
     (root / "meta").mkdir()
     rng = np.random.default_rng(0)
@@ -102,6 +104,11 @@ def workspace(tmp_path_factory):
     cfg_path = root / "config.yaml"
     cfg_path.write_text(yaml.safe_dump(cfg))
     return root, str(cfg_path), cfg
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    return make_e2e_workspace(tmp_path_factory.mktemp("e2e"))
 
 
 @pytest.fixture(scope="module")

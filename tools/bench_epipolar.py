@@ -46,6 +46,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ds", type=int, default=8)
     ap.add_argument("--bq", default="256,512,1024")
+    ap.add_argument("--bk", type=int, default=None, help="override BLOCK_K")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--outer", type=int, default=3)
     ap.add_argument("--density-only", action="store_true")
@@ -61,21 +62,20 @@ def main():
 
     batch, heads, d, n_reg = 2, 5, 64, 4
     lines, T, h, w = flagship_lines(args.ds, batch)
+    bk = args.bk or E.BLOCK_K
     lq = T * h * w
-    lk = lq + E.BLOCK_K
+    lk = lq + bk
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.normal(size=(batch, lq, heads, d)), jnp.bfloat16)
     k = jnp.asarray(rng.normal(size=(batch, lk, heads, d)), jnp.bfloat16)
     v = jnp.asarray(rng.normal(size=(batch, lk, heads, d)), jnp.bfloat16)
 
     for bq in [int(x) for x in args.bq.split(",")]:
-        amap = E.epipolar_tile_map(lines, T, h, w, args.ds, bq, E.BLOCK_K)
-        nsub = E.BLOCK_K // min(E.SUBTILE, E.BLOCK_K, h * w)
-        body = np.asarray(amap).reshape(batch, lq // bq, -1)[:, :, : lq // min(E.SUBTILE, h * w) * 1]
+        amap = E.epipolar_tile_map(lines, T, h, w, args.ds, bq, bk)
         # density over the non-register portion of the key axis
-        n_body = (lk - E.BLOCK_K) // min(E.SUBTILE, E.BLOCK_K, h * w)
+        n_body = (lk - bk) // min(E.SUBTILE, bk, h * w)
         dens = float(np.asarray(amap)[:, :, :n_body].mean())
-        print(f"BQ={bq}: active subtile density {dens:.3f}", flush=True)
+        print(f"BQ={bq} BK={bk}: active subtile density {dens:.3f}", flush=True)
         if args.density_only:
             continue
 
@@ -83,7 +83,7 @@ def main():
             def body(_, qc):
                 out = E.epipolar_flash_attention(
                     qc, k, v, lines, t=T, h=h, w=w, downsample=args.ds,
-                    num_registers=n_reg, block_q=bq,
+                    num_registers=n_reg, block_q=bq, block_k=bk,
                 )
                 return out.astype(qc.dtype)
 
