@@ -99,13 +99,16 @@ def make_optimizer(cfg: TrainConfig, params: Any, world_batch_scale: float = 1.0
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adamw(lr, weight_decay=cfg.weight_decay),
     )
-    tx = optax.multi_transform(
+    # MultiSteps INSIDE multi_transform: optax.masked hides frozen leaves from
+    # the inner init, so accumulation state exists only for trainable params.
+    # The flagship set is 97M trainable of 2852M total — the other nesting
+    # allocates an 11.4 GB fp32 accumulator tree and cannot fit a 16 GB chip.
+    if cfg.accumulate_grad_batches > 1:
+        adamw = optax.MultiSteps(adamw, cfg.accumulate_grad_batches)
+    return optax.multi_transform(
         {"train": adamw, "freeze": optax.set_to_zero()},
         param_labels(params, cfg.trainable_patterns),
     )
-    if cfg.accumulate_grad_batches > 1:
-        tx = optax.MultiSteps(tx, cfg.accumulate_grad_batches)
-    return tx
 
 
 def init_train_state(cfg: TrainConfig, params: Any, world_batch_scale: float = 1.0) -> TrainState:
@@ -130,8 +133,17 @@ def make_train_step(
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
+        labels = param_labels(state.params, cfg.trainable_patterns)
 
         def loss_fn(params):
+            # stop_gradient on frozen leaves: their grads become constant
+            # zeros XLA folds away, so backward never materialises the
+            # 11.4 GB full-tree fp32 gradient at flagship scale (the frozen
+            # ACTIVATIONS still backprop — adapters feed the UNet input side)
+            params = jax.tree_util.tree_map(
+                lambda lab, p: p if lab == "train" else jax.lax.stop_gradient(p),
+                labels, params,
+            )
             return model.training_loss(params, batch, step_rng, **loss_kwargs)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
