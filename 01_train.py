@@ -30,6 +30,9 @@ def parse_args():
     ap.add_argument("--max_steps", type=int, default=None)
     ap.add_argument("--bpe_path", default=None, help="CLIP BPE merges file")
     ap.add_argument("--pretrained", default=None, help="reference .pt checkpoint to import")
+    ap.add_argument("--machine", default=None,
+                    help="machine-registry entry (camc2v_tpu/utils/meta.py): substitutes "
+                         "that machine's data roots into the config")
     ap.add_argument("overrides", nargs="*", help="dotlist config overrides a.b.c=value")
     return ap.parse_args()
 
@@ -55,6 +58,10 @@ def main():
     from camc2v_tpu.parallel import trainer as TR
 
     cfg = apply_dotlist(load_yaml(args.config), args.overrides)
+    if args.machine:
+        from camc2v_tpu.utils.meta import apply_machine_config
+
+        cfg = apply_machine_config(cfg, args.machine)
     name = args.name or os.path.splitext(os.path.basename(args.config))[0]
     dirs = init_workspace(name, args.logdir, cfg)
     log = setup_logger(dirs["workdir"], rank=jax.process_index())

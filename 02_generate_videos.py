@@ -39,12 +39,34 @@ def parse_args():
                     help="run each batch as ONE data-parallel SPMD program over all "
                          "local chips (batch_size must divide the device count)")
     ap.add_argument("--bpe_path", default=None)
+    ap.add_argument("--machine", default=None,
+                    help="machine-registry entry (camc2v_tpu/utils/meta.py): substitutes "
+                         "that machine's data roots into the config")
+    ap.add_argument("--setup", default="default", help="TPU slice preset within --machine")
+    ap.add_argument("--emit-launcher", default=None,
+                    help="write a multi-host launcher script (the torchrun analogue) and exit")
     ap.add_argument("overrides", nargs="*")
     return ap.parse_args()
 
 
 def main():
     args = parse_args()
+
+    if args.emit_launcher:
+        import sys
+
+        from camc2v_tpu.utils.meta import launcher_script
+
+        fwd = [a for a in sys.argv[1:] if not a.startswith("--emit-launcher")]
+        if args.emit_launcher in fwd:
+            fwd.remove(args.emit_launcher)
+        text = launcher_script(args.machine or "local", args.setup, "02_generate_videos.py", fwd)
+        with open(args.emit_launcher, "w") as f:
+            f.write(text)
+        os.chmod(args.emit_launcher, 0o755)
+        print(f"launcher written to {args.emit_launcher}")
+        return
+
     import jax
 
     # multi-host generation (reference: trainer.test over DDP ranks,
@@ -60,6 +82,10 @@ def main():
     from camc2v_tpu.main.harness import generate_videos, setup_logger
 
     cfg = apply_dotlist(load_yaml(args.config), args.overrides)
+    if args.machine:
+        from camc2v_tpu.utils.meta import apply_machine_config
+
+        cfg = apply_machine_config(cfg, args.machine)
     log = setup_logger(None)
     model, pretrained = build_model_from_config(cfg)
     params = model.init_params(jax.random.key(args.seed))

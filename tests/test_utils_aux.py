@@ -105,3 +105,56 @@ class TestLoggingSinks:
         ml.on_train_batch_end(4, None, {})  # empty metrics (non-log step) skipped
         lines = open(tmp_path / "metrics.csv").read().strip().splitlines()
         assert len(lines) == 2  # header + one row
+
+
+class TestMachineRegistry:
+    """utils/meta.py — the reference's per-machine registry analogue
+    (reference utils/meta.py + 02_generate_videos.py:255-275)."""
+
+    def test_apply_machine_config_substitutes_data_roots(self, monkeypatch):
+        from camc2v_tpu.utils import meta
+
+        monkeypatch.setitem(
+            meta.DATA_DIRECTORIES, "podX",
+            {"train": {"data_dir": "/mnt/train", "meta_path": "/mnt/meta"},
+             "test": {"data_dir": "/mnt/test"}},
+        )
+        cfg = {"data": {"params": {"train": {"params": {"data_dir": "old", "video_length": 16}}}}}
+        out = meta.apply_machine_config(cfg, "podX")
+        tr = out["data"]["params"]["train"]["params"]
+        assert tr["data_dir"] == "/mnt/train" and tr["meta_path"] == "/mnt/meta"
+        assert tr["video_length"] == 16  # non-path params untouched
+        assert out["data"]["params"]["test"]["params"]["data_dir"] == "/mnt/test"
+        # unknown machine is a no-op
+        assert meta.apply_machine_config({"a": 1}, "nope") == {"a": 1}
+
+    def test_launcher_script_multihost(self, monkeypatch):
+        from camc2v_tpu.utils import meta
+
+        monkeypatch.setitem(
+            meta.TPU_SETUPS, "podX",
+            {"v5e-16": {"num_hosts": 4, "chips_per_host": 4, "batch_size": 2}},
+        )
+        txt = meta.launcher_script("podX", "v5e-16", "02_generate_videos.py",
+                                   ["--config", "c.yaml", "--out", "o"])
+        assert "JAX_NUM_PROCESSES=4" in txt
+        assert "JAX_COORDINATOR_ADDRESS" in txt
+        assert "02_generate_videos.py --config c.yaml --out o" in txt
+        # single-host machines emit a plain invocation
+        txt1 = meta.launcher_script("local", "default", "01_train.py", ["--config", "c.yaml"])
+        assert "JAX_NUM_PROCESSES" not in txt1 and "01_train.py --config c.yaml" in txt1
+
+    def test_emit_launcher_cli(self, tmp_path, monkeypatch):
+        import runpy
+        import sys
+
+        out = tmp_path / "launch.sh"
+        monkeypatch.setattr(sys, "argv", [
+            "02_generate_videos.py", "--config", "x.yaml",
+            "--emit-launcher", str(out),
+        ])
+        runpy.run_path(os.path.join(os.path.dirname(__file__), "..", "02_generate_videos.py"),
+                       run_name="__main__")
+        body = out.read_text()
+        assert body.startswith("#!/bin/bash") and "02_generate_videos.py" in body
+        assert "--emit-launcher" not in body
