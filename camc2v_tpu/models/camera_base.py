@@ -189,8 +189,14 @@ class CamI2V(CameraControlLVDM):
             if plain_epipolar(cfg.epipolar):
                 # mask-free path: the UNet's epipolar kernels compute masks
                 # in-kernel from F (ops/epipolar_flash.py) — no (B, L, L)
-                # bools in HBM, no XLA mask-build fusions
+                # bools in HBM, no XLA mask-build fusions. Lines + the
+                # scalar-prefetch tile maps depend only on geometry, so they
+                # are prepared HERE, once, and ride the cond payload through
+                # the whole denoise scan instead of being rebuilt every step
+                from camc2v_tpu.nn.epipolar import prepare_plain_epipolar
+
                 cam["F"] = F
+                cam["epi_prep"] = prepare_plain_epipolar(F, cfg.epipolar)
             else:
                 cam["masks"] = G.build_epipolar_masks(F, t, (H // 8, W // 8), cfg.epipolar)
 

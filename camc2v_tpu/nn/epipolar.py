@@ -42,6 +42,38 @@ def plain_epipolar(cfg: "EpipolarConfig") -> bool:
     )
 
 
+def prepare_plain_epipolar(F, cfg: "EpipolarConfig") -> dict[int, dict]:
+    """Per-level epipolar prep {pixel_ds: {"lines", "tile_any"}} from the
+    fundamental matrices — purely geometric, so samplers compute it ONCE and
+    hoist it out of the denoise scan (25 recomputes otherwise, and a slow
+    producer of the scalar-prefetch tile map STALLS the Pallas kernel).
+
+    Keys match the Epipolar module's `origin_h // feature_h` lookup (latent
+    ds=1 is 8x image downsample): pixel_ds = 8 * ar for ar in
+    cfg.attention_resolution — same keying as camera/geometry.py's
+    build_epipolar_masks (reference model/camcontexti2v.py:552).
+    """
+    from camc2v_tpu.ops import epipolar_flash as ef
+
+    assert plain_epipolar(cfg)
+    t = F.shape[1]
+    prep: dict[int, dict] = {}
+    for ar in cfg.attention_resolution:
+        ds = 8 * ar
+        h = cfg.origin_h // ds
+        w = cfg.origin_w // ds
+        if h < 1 or w < 1:
+            continue
+        lines = ef.epipolar_lines(F, h, w, ds)
+        entry = {"lines": lines}
+        hw = h * w
+        block_k = ef.BLOCK_K if (hw % ef.BLOCK_K == 0 or ef.BLOCK_K % hw == 0) else hw
+        if min(block_k, hw) >= 256 and (t * hw) % block_k == 0 and (t * hw) % ef.BLOCK_Q == 0:
+            entry["tile_any"] = ef.epipolar_tile_map(lines, t, h, w, ds, ef.BLOCK_Q, block_k)
+        prep[ds] = entry
+    return prep
+
+
 @dataclasses.dataclass(frozen=True)
 class EpipolarConfig:
     """Static configuration of the epipolar attention modules (hashable)."""
@@ -89,6 +121,7 @@ class EpipolarCrossAttention(nn.Module):
         *,
         lines: Optional[jax.Array] = None,
         geom: Optional[tuple[int, int, int, int]] = None,
+        tile_any: Optional[jax.Array] = None,
     ) -> jax.Array:
         """x: (B, L1, C); context: (B, L2, C); attn_mask: (B, L1, L2) bool (True=attend).
 
@@ -128,7 +161,7 @@ class EpipolarCrossAttention(nn.Module):
             out = ef.epipolar_flash_attention(
                 split(q), split(k), split(v), lines,
                 t=t, h=hh, w=ww, downsample=ds, block_k=block_k,
-                num_registers=self.num_register_tokens,
+                num_registers=self.num_register_tokens, tile_any=tile_any,
             )
             out = out.reshape(b, -1, inner)
             out_dim = self.out_dim if self.out_dim is not None else self.query_dim
@@ -180,6 +213,7 @@ class Epipolar(nn.Module):
         masks: Optional[dict[int, jax.Array]] = None,
         cond_frame_index: Optional[jax.Array] = None,
         F: Optional[jax.Array] = None,
+        prep: Optional[dict[int, dict]] = None,
     ) -> jax.Array:
         b, t, hh, ww, c = features.shape
         cfg = self.config
@@ -187,6 +221,7 @@ class Epipolar(nn.Module):
         attn_mask = None
         lines = None
         geom = None
+        tile_any = None
         if F is not None and masks is None and not cfg.is_3d_full_attn:
             # mask-free path: epipolar lines from the fundamental matrices;
             # in-kernel mask when the geometry tiles cleanly, else a
@@ -195,7 +230,11 @@ class Epipolar(nn.Module):
 
             assert plain_epipolar(cfg), "F-payload requires a plain epipolar config"
             ds = cfg.origin_h // hh
-            lines = ef.epipolar_lines(F, hh, ww, ds)
+            level_prep = (prep or {}).get(ds, {})
+            lines = level_prep.get("lines")
+            if lines is None:
+                lines = ef.epipolar_lines(F, hh, ww, ds)
+            tile_any = level_prep.get("tile_any")
             dim_head = int(self.query_dim // self.heads // cfg.compression_factor)
             # k-tiles either subdivide a frame (hw >= 1024) or span several
             # whole frames (hw < 1024) — BK=1024 minimises grid-step overhead
@@ -212,6 +251,7 @@ class Epipolar(nn.Module):
             else:
                 attn_mask = ef.materialize_mask(lines, t, hh, ww, ds)
                 lines = None
+                tile_any = None
         elif masks is not None and not cfg.is_3d_full_attn:
             attn_mask = masks.get(cfg.origin_h // hh)
 
@@ -238,7 +278,7 @@ class Epipolar(nn.Module):
             zero_init_out=True,
             dtype=self.dtype,
             name="epipolar_attn",
-        )(x, context, attn_mask, lines=lines, geom=geom)
+        )(x, context, attn_mask, lines=lines, geom=geom, tile_any=tile_any)
 
         # (B, T*h*w, C) -> (B*h*w, T, C)
         return out.reshape(b, t, hh * ww, -1).transpose(0, 2, 1, 3).reshape(b * hh * ww, t, -1)

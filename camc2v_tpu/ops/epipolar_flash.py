@@ -294,6 +294,7 @@ def _epipolar_flash_fwd_impl(
     k: jax.Array,
     v: jax.Array,
     lines: jax.Array,
+    tile_any: jax.Array,
     *,
     t: int,
     h: int,
@@ -311,6 +312,10 @@ def _epipolar_flash_fwd_impl(
       register tokens (first `num_registers` of it), zero-padded to a full
       block_k tile by the caller.
     lines: (B, Lq, t, 3) from `epipolar_lines`.
+    tile_any: (B, nQ, nK*NSUB) int32 from `epipolar_tile_map` — precomputable
+      (it depends only on camera geometry, so samplers hoist it out of the
+      denoise scan; a slow producer of this scalar-prefetch operand STALLS
+      the custom-call).
     """
     b, lq, heads, d = q.shape
     lk = k.shape[1]
@@ -324,8 +329,6 @@ def _epipolar_flash_fwd_impl(
     frames_per_tile = max(1, block_k // hw)
     sub = min(SUBTILE, block_k, hw)
     thresh = downsample * math.sqrt(2.0) / 2.0
-
-    tile_any = epipolar_tile_map(lines, t, h, w, downsample, block_q, block_k)
 
     hb = _head_group(heads, d, block_q, block_k, has_mask=False)
     g = heads // hb
@@ -399,17 +402,17 @@ def _epipolar_flash_fwd_impl(
     return out.reshape(b, heads, lq, d).transpose(0, 2, 1, 3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _epipolar_flash(q, k, v, lines, static):
-    return _epipolar_flash_fwd_impl(q, k, v, lines, **dict(static))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _epipolar_flash(q, k, v, lines, tile_any, static):
+    return _epipolar_flash_fwd_impl(q, k, v, lines, tile_any, **dict(static))
 
 
-def _epi_fwd_rule(q, k, v, lines, static):
-    return _epipolar_flash(q, k, v, lines, static), (q, k, v, lines)
+def _epi_fwd_rule(q, k, v, lines, tile_any, static):
+    return _epipolar_flash(q, k, v, lines, tile_any, static), (q, k, v, lines, tile_any)
 
 
 def _epi_bwd_rule(static, res, gout):
-    q, k, v, lines = res
+    q, k, v, lines, tile_any = res
     cfg = dict(static)
     t, h, w, ds = cfg["t"], cfg["h"], cfg["w"], cfg["downsample"]
     num_registers, scale = cfg["num_registers"], cfg["scale"]
@@ -444,7 +447,10 @@ def _epi_bwd_rule(static, res, gout):
 
     _, vjp = jax.vjp(f, q, k, v)
     dq, dk, dv = vjp(gout)
-    return dq, dk, dv, jnp.zeros_like(lines)
+    import numpy as onp
+
+    ct_tile = onp.zeros(tile_any.shape, jax.dtypes.float0)  # int primal
+    return dq, dk, dv, jnp.zeros_like(lines), ct_tile
 
 
 _epipolar_flash.defvjp(_epi_fwd_rule, _epi_bwd_rule)
@@ -453,10 +459,17 @@ _epipolar_flash.defvjp(_epi_fwd_rule, _epi_bwd_rule)
 def epipolar_flash_attention(
     q, k, v, lines, *, t, h, w, downsample, num_registers,
     scale: Optional[float] = None, block_q: int = BLOCK_Q, block_k: int = BLOCK_K,
+    tile_any: Optional[jax.Array] = None,
 ):
-    """Differentiable entry point (see _epipolar_flash_fwd_impl for shapes)."""
+    """Differentiable entry point (see _epipolar_flash_fwd_impl for shapes).
+
+    `tile_any` precomputed via `epipolar_tile_map` skips the in-graph hull
+    prepass (hoist it out of sampling scans — it depends only on geometry).
+    """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if tile_any is None:
+        tile_any = epipolar_tile_map(lines, t, h, w, downsample, block_q, block_k)
     static = tuple(
         sorted(
             dict(
@@ -465,7 +478,7 @@ def epipolar_flash_attention(
             ).items()
         )
     )
-    return _epipolar_flash(q, k, v, lines, static)
+    return _epipolar_flash(q, k, v, jax.lax.stop_gradient(lines), tile_any, static)
 
 
 def materialize_mask(lines: jax.Array, t: int, h: int, w: int, downsample: int) -> jax.Array:
