@@ -25,7 +25,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from camc2v_tpu.nn.layers import Dense, Dtype, GroupNorm32, LayerNormF32
+from camc2v_tpu.nn.layers import (
+    Dense, DenseParams, Dtype, GroupNorm32, LayerNormF32, LayerNormParams,
+)
 from camc2v_tpu.nn.epipolar import Epipolar, EpipolarConfig
 from camc2v_tpu.ops.attention import dot_product_attention
 
@@ -96,6 +98,30 @@ class CrossAttention(nn.Module):
         h, d = self.heads, self.dim_head
         self_attn = context is None
         ctx = x if context is None else context
+
+        # Short-sequence (temporal, T<=32) self-attention runs the fully fused
+        # Pallas kernel: qkv projections + per-head attention + out-projection
+        # in one pass, no head-split relayouts (ops/temporal_attention.py).
+        from camc2v_tpu.ops import temporal_attention as ta
+
+        if (
+            self_attn
+            and not self.relative_position
+            and mask is None
+            and self.dropout == 0.0
+            and self.dtype == jnp.bfloat16
+            and x.shape[1] <= 32
+            and ta.fused_enabled()
+            and ta.supported(x.shape[0], x.shape[1], x.shape[-1], self.query_dim,
+                             self.heads, self.dim_head)
+        ):
+            wq, _ = DenseParams(inner, use_bias=False, name="to_q")(x.shape[-1])
+            wk, _ = DenseParams(inner, use_bias=False, name="to_k")(x.shape[-1])
+            wv, _ = DenseParams(inner, use_bias=False, name="to_v")(x.shape[-1])
+            wo, bo = DenseParams(self.query_dim, name="to_out")(inner)
+            return ta.fused_temporal_mha(
+                x.astype(self.dtype), wq, wk, wv, wo, bo, heads=self.heads
+            )
 
         q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
 
@@ -195,6 +221,31 @@ class FeedForward(nn.Module):
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         return Dense(self.dim_out, dtype=self.dtype, name="fc2")(h)
+
+
+class _GEGLUParams(nn.Module):
+    """Param mirror of GEGLU (geglu/proj) for the fused FF kernel."""
+
+    inner: int
+
+    @nn.compact
+    def __call__(self, c_in: int):
+        return DenseParams(self.inner * 2, name="proj")(c_in)
+
+
+class _FFParams(nn.Module):
+    """Param mirror of FeedForward (ff/geglu/proj + ff/fc2) for the fused FF
+    kernel (ops/geglu_ff.py) — identical tree and initialisers."""
+
+    dim_out: int
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, c_in: int):
+        inner = int(c_in * self.mult)
+        wp, bp = _GEGLUParams(inner, name="geglu")(c_in)
+        wf, bf = DenseParams(self.dim_out, name="fc2")(inner)
+        return wp, bp, wf, bf
 
 
 class BasicTransformerBlock(nn.Module):
@@ -313,6 +364,7 @@ class BasicTransformerBlock(nn.Module):
                     masks=camera.get("masks"),
                     cond_frame_index=camera.get("cond_frame_index"),
                     F=camera.get("F"),
+                    prep=camera.get("epi_prep"),
                 )  # (B*h*w, T, C)
                 zero_init_x = zero_init_x + epi_out
 
@@ -348,9 +400,25 @@ class BasicTransformerBlock(nn.Module):
             context_mask=context_mask, deterministic=deterministic,
         ) + x
 
-        x = FeedForward(self.dim, dropout=self.dropout, dtype=self.dtype, name="ff")(
-            LayerNormF32(name="norm3")(x), deterministic=deterministic
-        ) + x
+        # FF: the fused LN+GEGLU kernel keeps the (rows, 8C) hidden layer in
+        # VMEM (ops/geglu_ff.py); ineligible shapes take the plain XLA path.
+        from camc2v_tpu.ops import geglu_ff as gff
+
+        ff_inner = int(self.dim * 4)
+        rows = x.shape[0] * x.shape[1]
+        if (
+            self.dropout == 0.0
+            and self.dtype == jnp.bfloat16
+            and gff.fused_enabled()
+            and gff.supported(rows, self.dim, ff_inner, self.dim)
+        ):
+            ls, lb = LayerNormParams(self.dim, name="norm3")()
+            wp, bp, wf, bf = _FFParams(self.dim, name="ff")(self.dim)
+            x = gff.fused_ln_geglu_ff(x, ls, lb, wp, bp, wf, bf)
+        else:
+            x = FeedForward(self.dim, dropout=self.dropout, dtype=self.dtype, name="ff")(
+                LayerNormF32(name="norm3")(x), deterministic=deterministic
+            ) + x
         return x
 
 

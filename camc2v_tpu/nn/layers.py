@@ -23,6 +23,47 @@ Dtype = Any
 zeros_init = nn.initializers.zeros_init()
 
 
+class DenseParams(nn.Module):
+    """Kernel/bias container named+initialised like nn.Dense so param paths
+    (and the torch-checkpoint importer's `to_q/kernel` mapping) stay unchanged
+    when a fused kernel consumes the weights directly instead of calling the
+    Dense module."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_features, self.features), jnp.float32
+        )
+        bias = None
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
+
+
+class _LNScaleBias(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return scale, bias
+
+
+class LayerNormParams(nn.Module):
+    """Param container mirroring LayerNormF32's tree (`<name>/LayerNorm_0/
+    {scale,bias}`) for kernels that fuse the LayerNorm themselves."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return _LNScaleBias(self.features, name="LayerNorm_0")()
+
+
 class _GNParams(nn.Module):
     """Scale/bias container named like nn.GroupNorm so param paths (and the
     torch-checkpoint importer's `GroupNorm_0/scale` mapping) stay unchanged."""

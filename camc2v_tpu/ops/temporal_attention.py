@@ -1,0 +1,237 @@
+"""Fused short-sequence (temporal) multi-head attention Pallas kernel.
+
+The UNet's temporal transformers attend over T=16 tokens per pixel stream
+((B*h*w, T, C) tensors — reference lvdm/modules/attention.py:323-428). The
+FLOPs are negligible (<2% of a step) but the XLA lowering materialises
+head-split relayout copies (bf16[2048,16,5,64] transposes), tiny (16,16)
+softmax fusions and separate projection dispatches — ~14-18 ms of a 180 ms
+flagship step.
+
+This kernel runs the whole chain
+    q,k,v = x @ Wq|Wk|Wv   (per-head slices of the fused projections)
+    attn   = softmax(q k^T / sqrt(d)) v        (per 16-token sequence)
+    out    = attn @ Wo + bo
+in ONE pass: PACK = 128//T sequences are packed into each 128-row tile, the
+per-head (128,128) score matrix is computed on the MXU and masked to
+block-diagonal form with an additive penalty (a (128,T) layout would occupy
+the same number of vregs — full-width lanes are free), and the per-head
+outputs are assembled in a VMEM scratch before the fused out-projection.
+Weights ride in VMEM across grid steps ((H, C, D) layout so per-head slices
+are leading-dim indexing, never lane slicing).
+
+Numerics match ops/attention.py::_xla_attention exactly: bf16 matmul inputs,
+f32 accumulation and softmax, output cast back to the input dtype.
+
+Backward: recompute-based custom VJP through the XLA reference implementation
+(same pattern as ops/epipolar_flash.py) — weights receive real gradients.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# rows per packed tile; PACK = _TILE_ROWS // T sequences share one score matrix
+_TILE_ROWS = 128
+# row-groups processed per grid step (fewer grid steps, same VPU work)
+_GROUPS = 2
+# VMEM budget for resident weights + working tiles
+_MAX_WEIGHT_BYTES = 8 * 1024 * 1024
+
+
+_USE_FUSED: Optional[bool] = None
+
+
+def use_fused(enabled: Optional[bool] = True) -> None:
+    """Force (True/False) or restore auto (None) fused-kernel dispatch."""
+    global _USE_FUSED
+    _USE_FUSED = enabled
+
+
+def fused_enabled() -> bool:
+    if _USE_FUSED is not None:
+        return _USE_FUSED
+    import os
+
+    if os.environ.get("CAMC2V_DISABLE_FUSED_TEMPORAL"):
+        return False
+    return jax.default_backend() != "cpu"
+
+
+def supported(n: int, t: int, c_in: int, c_out: int, heads: int, dim_head: int) -> bool:
+    """Static eligibility of the fused kernel for an (N, T, C) problem."""
+    inner = heads * dim_head
+    if t < 2 or t > _TILE_ROWS or _TILE_ROWS % t != 0:
+        return False
+    if dim_head % 8 != 0 or dim_head > 128:
+        return False
+    if min(c_in, c_out, inner) < 128 or c_in % 8 or c_out % 8 or inner % 8:
+        return False
+    pack = _TILE_ROWS // t
+    if n % pack != 0:
+        return False
+    # resident weights: 3x (H, C_in, D) + (C_inner, C_out) in bf16
+    if (3 * heads * c_in * dim_head + inner * c_out) * 2 > _MAX_WEIGHT_BYTES:
+        return False
+    return True
+
+
+def _choose_bn(n: int, t: int) -> int:
+    """Sequences per grid step: prefer _GROUPS full 128-row tiles."""
+    pack = _TILE_ROWS // t
+    bn = _GROUPS * pack
+    if n % bn == 0:
+        return bn
+    return pack
+
+
+def _kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref, acc_ref, *,
+            t: int, heads: int, dim_head: int, scale: float, groups: int):
+    bn = x_ref.shape[0]
+    c = x_ref.shape[2]
+    rows = bn * t
+    tile = rows // groups  # 128 (or the whole block when n is small)
+
+    x = x_ref[...].reshape(rows, c)  # (rows, C_in)
+    if x.dtype != jnp.bfloat16:
+        x = x.astype(jnp.bfloat16)
+
+    # additive block-diagonal penalty: row i attends row j iff i//t == j//t
+    ri = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
+    cross = jnp.minimum(jnp.abs(ri // t - ci // t), 1).astype(jnp.float32)
+    penalty = cross * jnp.float32(-1e30)
+
+    for g in range(groups):
+        xg = x[g * tile:(g + 1) * tile]  # (tile, C)
+        for h in range(heads):
+            wq = wq_ref[h]  # (C, D)
+            wk = wk_ref[h]
+            wv = wv_ref[h]
+            q = jax.lax.dot(xg, wq, preferred_element_type=jnp.float32)
+            k = jax.lax.dot(xg, wk, preferred_element_type=jnp.float32)
+            v = jax.lax.dot(xg, wv, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            s = s * jnp.float32(scale) + penalty
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            l = jnp.sum(e, axis=-1, keepdims=True)
+            p = (e / l).astype(jnp.bfloat16)
+            o_h = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+            acc_ref[g * tile:(g + 1) * tile, h * dim_head:(h + 1) * dim_head] = (
+                o_h.astype(jnp.bfloat16)
+            )
+
+    wo = wo_ref[...]
+    out = jax.lax.dot(acc_ref[...], wo, preferred_element_type=jnp.float32)
+    out = out + bo_ref[0].astype(jnp.float32)
+    o_ref[...] = out.astype(o_ref.dtype).reshape(bn, t, o_ref.shape[2])
+
+
+def _mha_xla(x, wq3, wk3, wv3, wo, bo, *, heads: int, dim_head: int, scale: float):
+    """Reference XLA implementation (same layouts) for CPU fallback + VJP."""
+    n, t, _ = x.shape
+    inner = heads * dim_head
+    xb = x.astype(jnp.bfloat16) if x.dtype != jnp.bfloat16 else x
+    q = jnp.einsum("ntc,hcd->nhtd", xb, wq3)
+    k = jnp.einsum("ntc,hcd->nhtd", xb, wk3)
+    v = jnp.einsum("ntc,hcd->nhtd", xb, wv3)
+    s = jnp.einsum("nhtd,nhsd->nhts", q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+    o = jnp.einsum("nhts,nhsd->nthd", p, v.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    o = o.astype(jnp.bfloat16).reshape(n, t, inner)
+    out = jnp.dot(o, wo, preferred_element_type=jnp.float32) + bo.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _fwd_impl(x, wq3, wk3, wv3, wo, bo, *, heads, dim_head, scale):
+    n, t, c_in = x.shape
+    inner = heads * dim_head
+    c_out = wo.shape[1]
+    bn = _choose_bn(n, t)
+    groups = (bn * t) // _TILE_ROWS if (bn * t) % _TILE_ROWS == 0 else 1
+    grid = (n // bn,)
+    kern = functools.partial(
+        _kernel, t=t, heads=heads, dim_head=dim_head, scale=scale,
+        groups=max(groups, 1),
+    )
+    interpret = jax.default_backend() == "cpu"
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bn, t, c_in), lambda i: (i, 0, 0)),
+            pl.BlockSpec((heads, c_in, dim_head), lambda i: (0, 0, 0)),
+            pl.BlockSpec((heads, c_in, dim_head), lambda i: (0, 0, 0)),
+            pl.BlockSpec((heads, c_in, dim_head), lambda i: (0, 0, 0)),
+            pl.BlockSpec((inner, c_out), lambda i: (0, 0)),
+            pl.BlockSpec((1, c_out), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bn, t, c_out), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, t, c_out), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bn * t, inner), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(x, wq3, wk3, wv3, wo, bo.reshape(1, c_out))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _fused(x, wq3, wk3, wv3, wo, bo, static):
+    return _fwd_impl(x, wq3, wk3, wv3, wo, bo, **dict(static))
+
+
+def _fused_fwd(x, wq3, wk3, wv3, wo, bo, static):
+    return _fused(x, wq3, wk3, wv3, wo, bo, static), (x, wq3, wk3, wv3, wo, bo)
+
+
+def _fused_bwd(static, res, gout):
+    x, wq3, wk3, wv3, wo, bo = res
+    f = functools.partial(_mha_xla, **dict(static))
+    _, vjp = jax.vjp(f, x, wq3, wk3, wv3, wo, bo)
+    return vjp(gout)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_temporal_mha(
+    x: jax.Array,
+    wq: jax.Array,
+    wk: jax.Array,
+    wv: jax.Array,
+    wo: jax.Array,
+    bo: jax.Array,
+    *,
+    heads: int,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Fused MHA over (N, T, C) with T small (temporal attention).
+
+    Args:
+      x: (N, T, C) — already layer-normed input tokens.
+      wq/wk/wv: (C, C) fused projection kernels (Dense 'kernel' layout).
+      wo: (C, C) out-projection kernel; bo: (C,) out-projection bias.
+      heads: number of heads; C = heads * dim_head.
+
+    Returns (N, T, C_out) in x.dtype: softmax(q k^T * scale) v @ wo + bo.
+    """
+    n, t, c_in = x.shape
+    inner = wq.shape[1]
+    dim_head = inner // heads
+    if scale is None:
+        scale = dim_head ** -0.5
+    # (C_in, H*D) -> (H, C_in, D): per-head slices become leading-dim indexing
+    to3 = lambda w: w.reshape(c_in, heads, dim_head).transpose(1, 0, 2).astype(jnp.bfloat16)
+    wo_b = wo.astype(jnp.bfloat16)
+    static = tuple(sorted(dict(heads=heads, dim_head=dim_head, scale=float(scale)).items()))
+    return _fused(x, to3(wq), to3(wk), to3(wv), wo_b, bo, static)
