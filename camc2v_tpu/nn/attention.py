@@ -223,6 +223,24 @@ class FeedForward(nn.Module):
         return Dense(self.dim_out, dtype=self.dtype, name="fc2")(h)
 
 
+class _MHAParams(nn.Module):
+    """Param mirror of CrossAttention's self-attention projections
+    (to_q/to_k/to_v/to_out) for the fused temporal-MHA kernel."""
+
+    query_dim: int
+    heads: int
+    dim_head: int
+
+    @nn.compact
+    def __call__(self, c_in: int):
+        inner = self.heads * self.dim_head
+        wq, _ = DenseParams(inner, use_bias=False, name="to_q")(c_in)
+        wk, _ = DenseParams(inner, use_bias=False, name="to_k")(c_in)
+        wv, _ = DenseParams(inner, use_bias=False, name="to_v")(c_in)
+        wo, bo = DenseParams(self.query_dim, name="to_out")(inner)
+        return wq, wk, wv, wo, bo
+
+
 class _GEGLUParams(nn.Module):
     """Param mirror of GEGLU (geglu/proj) for the fused FF kernel."""
 
@@ -298,20 +316,64 @@ class BasicTransformerBlock(nn.Module):
         spatial_hw: Optional[tuple[int, int]] = None,
         deterministic: bool = True,
     ) -> jax.Array:
-        attn1 = CrossAttention(
-            query_dim=self.dim,
-            context_dim=self.context_dim if self.disable_self_attn else None,
-            heads=self.n_heads,
-            dim_head=self.d_head,
-            dropout=self.dropout,
-            relative_position=self.relative_position,
-            temporal_length=self.temporal_length,
-            dtype=self.dtype,
-            name="attn1",
-        )
-        normed_x = LayerNormF32(name="norm1")(x)
+        # attn1 is constructed lazily: when the fused LN+MHA kernel handles
+        # the step, _MHAParams claims the "attn1" name instead (flax registers
+        # submodule names at construction, not at call).
+        def attn1(*a, **kw):
+            return CrossAttention(
+                query_dim=self.dim,
+                context_dim=self.context_dim if self.disable_self_attn else None,
+                heads=self.n_heads,
+                dim_head=self.d_head,
+                dropout=self.dropout,
+                relative_position=self.relative_position,
+                temporal_length=self.temporal_length,
+                dtype=self.dtype,
+                name="attn1",
+            )(*a, **kw)
 
-        if self.is_temporal and camera is not None and self.camera_mode == "motionctrl":
+        # Eligibility of the fully fused LN+MHA+residual kernel for a pure
+        # T-token self-attention step (ops/temporal_attention.py). Camera
+        # branches share normed_x with their injection modules and keep the
+        # module path (the kernel still fuses their projections internally).
+        from camc2v_tpu.ops import temporal_attention as ta
+
+        def _ln_mha_fusable() -> bool:
+            return (
+                not self.relative_position
+                and mask is None
+                and self.dropout == 0.0
+                and self.dtype == jnp.bfloat16
+                and x.shape[1] <= 32
+                and ta.fused_enabled()
+                and ta.supported(x.shape[0], x.shape[1], self.dim, self.dim,
+                                 self.n_heads, self.d_head)
+            )
+
+        def _fused_ln_attn(x_in, ln_name, attn_name):
+            ls, lb = LayerNormParams(self.dim, name=ln_name)()
+            wq, wk, wv, wo, bo = _MHAParams(
+                self.dim, self.n_heads, self.d_head, name=attn_name
+            )(self.dim)
+            return ta.fused_temporal_mha(
+                x_in.astype(self.dtype), wq, wk, wv, wo, bo, heads=self.n_heads,
+                ln_scale=ls, ln_bias=lb, residual=True,
+            )
+
+        camera_branch = self.is_temporal and camera is not None and (
+            self.camera_mode in ("motionctrl", "cameractrl")
+            or self.use_camera
+            or self.epipolar is not None
+        )
+        if not camera_branch and not self.disable_self_attn and _ln_mha_fusable():
+            x = _fused_ln_attn(x, "norm1", "attn1")
+            normed_x = None
+        else:
+            normed_x = LayerNormF32(name="norm1")(x)
+
+        if normed_x is None:
+            pass  # attn1 already applied by the fused kernel above
+        elif self.is_temporal and camera is not None and self.camera_mode == "motionctrl":
             x = attn1(normed_x, mask=mask, deterministic=deterministic) + x
             rt = camera["RT"]  # (B, T, pose_dim)
             hw = x.shape[0] // rt.shape[0]
@@ -382,23 +444,26 @@ class BasicTransformerBlock(nn.Module):
                 deterministic=deterministic,
             ) + x
 
-        x = CrossAttention(
-            query_dim=self.dim,
-            context_dim=self.context_dim,
-            heads=self.n_heads,
-            dim_head=self.d_head,
-            dropout=self.dropout,
-            relative_position=self.relative_position if self.context_dim is None else False,
-            temporal_length=self.temporal_length,
-            image_cross_attention=self.image_cross_attention,
-            image_cross_attention_scale_learnable=self.image_cross_attention_scale_learnable,
-            text_context_len=self.text_context_len,
-            dtype=self.dtype,
-            name="attn2",
-        )(
-            LayerNormF32(name="norm2")(x), context=context, mask=mask,
-            context_mask=context_mask, deterministic=deterministic,
-        ) + x
+        if context is None and _ln_mha_fusable():
+            x = _fused_ln_attn(x, "norm2", "attn2")
+        else:
+            x = CrossAttention(
+                query_dim=self.dim,
+                context_dim=self.context_dim,
+                heads=self.n_heads,
+                dim_head=self.d_head,
+                dropout=self.dropout,
+                relative_position=self.relative_position if self.context_dim is None else False,
+                temporal_length=self.temporal_length,
+                image_cross_attention=self.image_cross_attention,
+                image_cross_attention_scale_learnable=self.image_cross_attention_scale_learnable,
+                text_context_len=self.text_context_len,
+                dtype=self.dtype,
+                name="attn2",
+            )(
+                LayerNormF32(name="norm2")(x), context=context, mask=mask,
+                context_mask=context_mask, deterministic=deterministic,
+            ) + x
 
         # FF: the fused LN+GEGLU kernel keeps the (rows, 8C) hidden layer in
         # VMEM (ops/geglu_ff.py); ineligible shapes take the plain XLA path.

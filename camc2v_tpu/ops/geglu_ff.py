@@ -66,6 +66,19 @@ def supported(rows: int, c_in: int, inner: int, c_out: int) -> bool:
     return True
 
 
+def _erf_poly(x):
+    """erf via Abramowitz–Stegun 7.1.26 (max abs err 1.5e-7 — far below bf16
+    resolution). Mosaic has no erf primitive (probed on a v5e: NotImplemented);
+    only exp is needed here. Sign handled arithmetically (no i1 selects)."""
+    a1, a2, a3, a4, a5 = 0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    p = 0.3275911
+    ax = jnp.abs(x)
+    s = x * jax.lax.rsqrt(x * x + jnp.float32(1e-12))  # smooth sign(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _kernel(x_ref, ls_ref, lb_ref, wp_ref, bp_ref, wf_ref, bf_ref, o_ref, *,
             inner: int, eps: float):
     x = x_ref[...]
@@ -81,7 +94,7 @@ def _kernel(x_ref, ls_ref, lb_ref, wp_ref, bp_ref, wf_ref, bf_ref, o_ref, *,
     a = h[:, :inner]
     g = h[:, inner:]
     # exact-erf gelu (torch F.gelu default; see GEGLU in nn/attention.py)
-    gelu = g * 0.5 * (1.0 + jax.lax.erf(g * jnp.float32(1.0 / math.sqrt(2.0))))
+    gelu = g * 0.5 * (1.0 + _erf_poly(g * jnp.float32(1.0 / math.sqrt(2.0))))
     hidden = (a * gelu).astype(jnp.bfloat16)
 
     y = jax.lax.dot(hidden, wf_ref[...], preferred_element_type=jnp.float32)

@@ -90,16 +90,32 @@ def _choose_bn(n: int, t: int) -> int:
     return pack
 
 
-def _kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref, acc_ref, *,
-            t: int, heads: int, dim_head: int, scale: float, groups: int):
+def _kernel(x_ref, wqkv_ref, wo_ref, bo_ref, *rest, t: int,
+            heads: int, dim_head: int, scale: float, groups: int,
+            has_ln: bool, residual: bool, eps: float):
+    if has_ln:
+        ls_ref, lb_ref, o_ref, acc_ref = rest
+    else:
+        o_ref, acc_ref = rest
     bn = x_ref.shape[0]
     c = x_ref.shape[2]
+    inner = heads * dim_head
     rows = bn * t
     tile = rows // groups  # 128 (or the whole block when n is small)
 
-    x = x_ref[...].reshape(rows, c)  # (rows, C_in)
-    if x.dtype != jnp.bfloat16:
-        x = x.astype(jnp.bfloat16)
+    x_raw = x_ref[...].reshape(rows, c)  # (rows, C_in)
+    xf = None
+    if has_ln:
+        xf = x_raw.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+        xn = xn * ls_ref[0].astype(jnp.float32) + lb_ref[0].astype(jnp.float32)
+        x = xn.astype(jnp.bfloat16)
+    elif x_raw.dtype != jnp.bfloat16:
+        x = x_raw.astype(jnp.bfloat16)
+    else:
+        x = x_raw
 
     # additive block-diagonal penalty: row i attends row j iff i//t == j//t
     ri = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
@@ -107,18 +123,19 @@ def _kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref, acc_ref, *,
     cross = jnp.minimum(jnp.abs(ri // t - ci // t), 1).astype(jnp.float32)
     penalty = cross * jnp.float32(-1e30)
 
+    d = dim_head
     for g in range(groups):
         xg = x[g * tile:(g + 1) * tile]  # (tile, C)
+        # one merged projection dot per row group (per-head dots are MXU
+        # latency chains — measured 11.5us/step on a v5e with 30 small dots)
+        qkv = jax.lax.dot(xg, wqkv_ref[...], preferred_element_type=jnp.float32)
+        qkv = qkv.astype(jnp.bfloat16)  # (tile, 3*inner)
         for h in range(heads):
-            wq = wq_ref[h]  # (C, D)
-            wk = wk_ref[h]
-            wv = wv_ref[h]
-            q = jax.lax.dot(xg, wq, preferred_element_type=jnp.float32)
-            k = jax.lax.dot(xg, wk, preferred_element_type=jnp.float32)
-            v = jax.lax.dot(xg, wv, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            q = qkv[:, h * d:(h + 1) * d]
+            k = qkv[:, inner + h * d:inner + (h + 1) * d]
+            v = qkv[:, 2 * inner + h * d:2 * inner + (h + 1) * d]
             s = jax.lax.dot_general(
-                q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
-                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             )
             s = s * jnp.float32(scale) + penalty
             m = jnp.max(s, axis=-1, keepdims=True)
@@ -126,82 +143,121 @@ def _kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref, o_ref, acc_ref, *,
             l = jnp.sum(e, axis=-1, keepdims=True)
             p = (e / l).astype(jnp.bfloat16)
             o_h = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
-            acc_ref[g * tile:(g + 1) * tile, h * dim_head:(h + 1) * dim_head] = (
+            acc_ref[g * tile:(g + 1) * tile, h * d:(h + 1) * d] = (
                 o_h.astype(jnp.bfloat16)
             )
 
     wo = wo_ref[...]
     out = jax.lax.dot(acc_ref[...], wo, preferred_element_type=jnp.float32)
     out = out + bo_ref[0].astype(jnp.float32)
+    if residual:
+        out = out + (xf if xf is not None else x_raw.astype(jnp.float32))
     o_ref[...] = out.astype(o_ref.dtype).reshape(bn, t, o_ref.shape[2])
 
 
-def _mha_xla(x, wq3, wk3, wv3, wo, bo, *, heads: int, dim_head: int, scale: float):
+def _maybe_ln(x, ls, lb, eps):
+    if ls is None:
+        return x.astype(jnp.bfloat16) if x.dtype != jnp.bfloat16 else x, None
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps) * ls + lb
+    return xn.astype(jnp.bfloat16), xf
+
+
+def _mha_xla(x, wqkv, wo, bo, ls=None, lb=None, *, heads: int, dim_head: int,
+             scale: float, residual: bool = False, eps: float = 1e-5):
     """Reference XLA implementation (same layouts) for CPU fallback + VJP."""
     n, t, _ = x.shape
     inner = heads * dim_head
-    xb = x.astype(jnp.bfloat16) if x.dtype != jnp.bfloat16 else x
-    q = jnp.einsum("ntc,hcd->nhtd", xb, wq3)
-    k = jnp.einsum("ntc,hcd->nhtd", xb, wk3)
-    v = jnp.einsum("ntc,hcd->nhtd", xb, wv3)
-    s = jnp.einsum("nhtd,nhsd->nhts", q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32) * scale
+    xb, xf = _maybe_ln(x, ls, lb, eps)
+    qkv = jnp.dot(xb, wqkv).astype(jnp.bfloat16)  # (n, t, 3*inner)
+    q, k, v = (a.reshape(n, t, heads, dim_head) for a in jnp.split(qkv, 3, axis=-1))
+    s = jnp.einsum("nthd,nshd->nhts", q, k, preferred_element_type=jnp.float32) * scale
     p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
-    o = jnp.einsum("nhts,nhsd->nthd", p, v.astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32)
+    o = jnp.einsum("nhts,nshd->nthd", p, v, preferred_element_type=jnp.float32)
     o = o.astype(jnp.bfloat16).reshape(n, t, inner)
     out = jnp.dot(o, wo, preferred_element_type=jnp.float32) + bo.astype(jnp.float32)
+    if residual:
+        out = out + (xf if xf is not None else x.astype(jnp.float32))
     return out.astype(x.dtype)
 
 
-def _fwd_impl(x, wq3, wk3, wv3, wo, bo, *, heads, dim_head, scale):
+def _fwd_impl(x, wqkv, wo, bo, ls=None, lb=None, *, heads, dim_head, scale,
+              residual=False, eps=1e-5):
     n, t, c_in = x.shape
     inner = heads * dim_head
     c_out = wo.shape[1]
+    has_ln = ls is not None
     bn = _choose_bn(n, t)
     groups = (bn * t) // _TILE_ROWS if (bn * t) % _TILE_ROWS == 0 else 1
     grid = (n // bn,)
     kern = functools.partial(
         _kernel, t=t, heads=heads, dim_head=dim_head, scale=scale,
-        groups=max(groups, 1),
+        groups=max(groups, 1), has_ln=has_ln, residual=residual, eps=eps,
     )
     interpret = jax.default_backend() == "cpu"
+    in_specs = [
+        pl.BlockSpec((bn, t, c_in), lambda i: (i, 0, 0)),
+        pl.BlockSpec((c_in, 3 * inner), lambda i: (0, 0)),
+        pl.BlockSpec((inner, c_out), lambda i: (0, 0)),
+        pl.BlockSpec((1, c_out), lambda i: (0, 0)),
+    ]
+    operands = [x, wqkv, wo, bo.reshape(1, c_out)]
+    if has_ln:
+        in_specs += [
+            pl.BlockSpec((1, c_in), lambda i: (0, 0)),
+            pl.BlockSpec((1, c_in), lambda i: (0, 0)),
+        ]
+        operands += [ls.reshape(1, c_in), lb.reshape(1, c_in)]
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bn, t, c_in), lambda i: (i, 0, 0)),
-            pl.BlockSpec((heads, c_in, dim_head), lambda i: (0, 0, 0)),
-            pl.BlockSpec((heads, c_in, dim_head), lambda i: (0, 0, 0)),
-            pl.BlockSpec((heads, c_in, dim_head), lambda i: (0, 0, 0)),
-            pl.BlockSpec((inner, c_out), lambda i: (0, 0)),
-            pl.BlockSpec((1, c_out), lambda i: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bn, t, c_out), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, t, c_out), x.dtype),
         scratch_shapes=[pltpu.VMEM((bn * t, inner), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(x, wq3, wk3, wv3, wo, bo.reshape(1, c_out))
+    )(*operands)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _fused(x, wq3, wk3, wv3, wo, bo, static):
-    return _fwd_impl(x, wq3, wk3, wv3, wo, bo, **dict(static))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fused(x, wqkv, wo, bo, static):
+    return _fwd_impl(x, wqkv, wo, bo, **dict(static))
 
 
-def _fused_fwd(x, wq3, wk3, wv3, wo, bo, static):
-    return _fused(x, wq3, wk3, wv3, wo, bo, static), (x, wq3, wk3, wv3, wo, bo)
+def _fused_fwd(x, wqkv, wo, bo, static):
+    return _fused(x, wqkv, wo, bo, static), (x, wqkv, wo, bo)
 
 
 def _fused_bwd(static, res, gout):
-    x, wq3, wk3, wv3, wo, bo = res
+    x, wqkv, wo, bo = res
     f = functools.partial(_mha_xla, **dict(static))
-    _, vjp = jax.vjp(f, x, wq3, wk3, wv3, wo, bo)
+    _, vjp = jax.vjp(f, x, wqkv, wo, bo)
     return vjp(gout)
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _fused_ln(x, wqkv, wo, bo, ls, lb, static):
+    return _fwd_impl(x, wqkv, wo, bo, ls, lb, **dict(static))
+
+
+def _fused_ln_fwd(x, wqkv, wo, bo, ls, lb, static):
+    return _fused_ln(x, wqkv, wo, bo, ls, lb, static), (x, wqkv, wo, bo, ls, lb)
+
+
+def _fused_ln_bwd(static, res, gout):
+    x, wqkv, wo, bo, ls, lb = res
+    f = functools.partial(_mha_xla, **dict(static))
+    _, vjp = jax.vjp(f, x, wqkv, wo, bo, ls, lb)
+    return vjp(gout)
+
+
+_fused_ln.defvjp(_fused_ln_fwd, _fused_ln_bwd)
 
 
 def fused_temporal_mha(
@@ -214,24 +270,39 @@ def fused_temporal_mha(
     *,
     heads: int,
     scale: Optional[float] = None,
+    ln_scale: Optional[jax.Array] = None,
+    ln_bias: Optional[jax.Array] = None,
+    residual: bool = False,
+    eps: float = 1e-5,
 ) -> jax.Array:
     """Fused MHA over (N, T, C) with T small (temporal attention).
 
     Args:
-      x: (N, T, C) — already layer-normed input tokens.
-      wq/wk/wv: (C, C) fused projection kernels (Dense 'kernel' layout).
-      wo: (C, C) out-projection kernel; bo: (C,) out-projection bias.
-      heads: number of heads; C = heads * dim_head.
+      x: (N, T, C) input tokens — raw (pre-LayerNorm) when ln_scale/ln_bias
+        are given (the kernel fuses the f32 LayerNorm), already-normed
+        otherwise.
+      wq/wk/wv: (C, H*D) projection kernels (Dense 'kernel' layout).
+      wo: (H*D, C_out) out-projection kernel; bo: (C_out,) bias.
+      heads: number of heads.
+      residual: add the raw x to the output (requires C_out == C).
 
-    Returns (N, T, C_out) in x.dtype: softmax(q k^T * scale) v @ wo + bo.
+    Returns (N, T, C_out) in x.dtype.
     """
     n, t, c_in = x.shape
     inner = wq.shape[1]
     dim_head = inner // heads
     if scale is None:
         scale = dim_head ** -0.5
-    # (C_in, H*D) -> (H, C_in, D): per-head slices become leading-dim indexing
-    to3 = lambda w: w.reshape(c_in, heads, dim_head).transpose(1, 0, 2).astype(jnp.bfloat16)
+    if residual:
+        assert wo.shape[1] == c_in, "residual needs matching channel widths"
+    # one merged (C, 3*inner) projection weight: a single MXU dot per row
+    # group instead of 3*H latency-chained small dots
+    wqkv = jnp.concatenate([wq, wk, wv], axis=1).astype(jnp.bfloat16)
     wo_b = wo.astype(jnp.bfloat16)
-    static = tuple(sorted(dict(heads=heads, dim_head=dim_head, scale=float(scale)).items()))
-    return _fused(x, to3(wq), to3(wk), to3(wv), wo_b, bo, static)
+    static = tuple(sorted(dict(
+        heads=heads, dim_head=dim_head, scale=float(scale),
+        residual=bool(residual), eps=float(eps),
+    ).items()))
+    if ln_scale is not None:
+        return _fused_ln(x, wqkv, wo_b, bo, ln_scale, ln_bias, static)
+    return _fused(x, wqkv, wo_b, bo, static)

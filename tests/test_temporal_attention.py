@@ -132,6 +132,84 @@ def test_cross_attention_module_dispatch():
     )
 
 
+def test_ln_residual_fused_matches_module_chain():
+    """ln_scale/ln_bias + residual=True == LayerNormF32 -> attn -> + x."""
+    from camc2v_tpu.nn.layers import LayerNormF32
+
+    n, t, c, heads, d = 16, 16, 320, 5, 64
+    x, wq, wk, wv, wo, bo = _mk(n, t, c, heads, d, c, seed=7)
+    rng = np.random.default_rng(8)
+    ls = jnp.asarray(rng.normal(size=(c,)) * 0.2 + 1.0, jnp.float32)
+    lb = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+
+    got = ta.fused_temporal_mha(
+        x, wq, wk, wv, wo, bo, heads=heads, ln_scale=ls, ln_bias=lb, residual=True
+    )
+
+    ln = LayerNormF32()
+    normed = ln.apply({"params": {"LayerNorm_0": {"scale": ls, "bias": lb}}}, x)
+    want = _xla_reference(normed, wq, wk, wv, wo, bo, heads) + x.astype(jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=0.08, rtol=0.05,
+    )
+
+
+def test_ln_fused_vjp_finite():
+    n, t, c, heads, d = 8, 16, 256, 4, 64
+    x, wq, wk, wv, wo, bo = _mk(n, t, c, heads, d, c, seed=9)
+    ls = jnp.ones((c,), jnp.float32)
+    lb = jnp.zeros((c,), jnp.float32)
+
+    def loss(p):
+        wq_, wk_, wv_, wo_, bo_, ls_, lb_ = p
+        out = ta.fused_temporal_mha(
+            x, wq_, wk_, wv_, wo_, bo_, heads=heads,
+            ln_scale=ls_, ln_bias=lb_, residual=True,
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    grads = jax.grad(loss)((wq, wk, wv, wo, bo, ls, lb))
+    for g, name in zip(grads, ["wq", "wk", "wv", "wo", "bo", "ls", "lb"]):
+        assert bool(jnp.all(jnp.isfinite(g))), name
+        assert float(jnp.abs(g).max()) > 0, name  # all params reached
+
+
+def test_block_fused_ln_attn_dispatch():
+    """BasicTransformerBlock temporal path: fused LN+attn1/attn2 on vs off —
+    identical param tree, matching outputs."""
+    from camc2v_tpu.nn.attention import BasicTransformerBlock
+    from camc2v_tpu.ops import geglu_ff as gff
+
+    n, t, c = 16, 16, 256
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(n, t, c)), jnp.bfloat16)
+    mod = BasicTransformerBlock(dim=c, n_heads=4, d_head=64, dtype=jnp.bfloat16,
+                                is_temporal=True)
+
+    ta.use_fused(True)
+    gff.use_fused(True)
+    try:
+        params_fused = mod.init(jax.random.key(0), x)
+        out_fused = mod.apply(params_fused, x)
+    finally:
+        ta.use_fused(None)
+        gff.use_fused(None)
+    params_plain = mod.init(jax.random.key(0), x)
+    out_plain = mod.apply(params_plain, x)
+
+    flat_f = jax.tree_util.tree_leaves_with_path(params_fused)
+    flat_p = dict(jax.tree_util.tree_leaves_with_path(params_plain))
+    assert len(flat_f) == len(flat_p)
+    for path, leaf in flat_f:
+        assert path in flat_p, path
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat_p[path]))
+
+    np.testing.assert_allclose(
+        np.asarray(out_fused, np.float32), np.asarray(out_plain, np.float32),
+        atol=0.1, rtol=0.05,
+    )
+
+
 def test_temporal_transformer_fused_integration():
     """Whole TemporalTransformer (norm+proj+blocks) with fused attention on
     vs off — catches dispatch-condition mistakes inside the real module."""
