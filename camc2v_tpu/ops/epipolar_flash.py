@@ -427,6 +427,12 @@ def _epi_bwd_rule(static, res, gout):
         nq = lq // chunk
         reg = jnp.arange(lk - (t * h * w)) < num_registers
 
+        # jax.checkpoint: without it, vjp-through-lax.map stacks each chunk's
+        # softmax residuals over all nq iterations — f32/bf16/pred
+        # [nq, b, h, chunk, L] tensors (~10.6 GB at flagship ds8) that OOMed
+        # the 16 GB chip on the first real train-step compile. Remat keeps
+        # only (qc, lc) per chunk and recomputes s/p in the backward sweep.
+        @jax.checkpoint
         def one_chunk(args):
             qc, lc = args  # (b, chunk, h, d), (b, chunk, t, 3)
             mc = materialize_mask(lc, t, h, w, ds)  # (b, chunk, t*h*w)

@@ -244,6 +244,11 @@ def _chunked_reference(q, k, v, mask, scale, chunk=BLOCK_Q):
     """Block-wise exact attention in plain XLA (used for the VJP): O(L) memory."""
     b, lq, h, d = q.shape
 
+    # jax.checkpoint: vjp-through-lax.map otherwise stacks each chunk's
+    # softmax p as a scan residual ([nq, b, h, chunk, L] f32 — ~0.7 GB per
+    # flagship ds8 site at b=2, ~10 GB for the epipolar analogue). Remat
+    # recomputes s/p per chunk in the backward sweep instead.
+    @jax.checkpoint
     def one_chunk(qc_mc):
         qc, mc = qc_mc
         s = jnp.einsum("bqhd,bkhd->bhqk", qc, k, preferred_element_type=jnp.float32) * scale
