@@ -106,11 +106,33 @@ class GroupNorm32(nn.Module):
                 return gnops.group_norm_fused(
                     x, scale, bias, num_groups=groups, eps=self.epsilon, silu=silu
                 )
-            # NOTE: group_norm_fused_big (two-phase streaming kernel for the
-            # temporal 5D norms) measured NET NEGATIVE in-graph on a v5e
-            # (194.2 vs 186.9 ms/step): the kernel itself runs at roofline but
-            # XLA inserts 42 MB layout-normalisation copies on both sides of
-            # every call site. Revisit only with layout-matching block specs.
+            # 5-D temporal norms (stats per (B, group) over T*H*W): two
+            # row-parallel kernels sharing the proven 4-D block layout. The
+            # earlier one-call streaming kernel (group_norm_fused_big) was NET
+            # NEGATIVE (194.2 vs 186.9 ms/step): roofline kernel, but its
+            # (B, 2, T) revisited-output grid forced 42 MB layout copies at
+            # every call site — the split form avoids that by construction.
+            import os as _os
+
+            if x.ndim >= 5 and gnops.group_norm_temporal_supported(x, groups) and _os.environ.get(
+                "CAMC2V_GN_TEMPORAL", "0"
+            ) == "1":
+                return gnops.group_norm_fused_temporal(
+                    x, scale, bias, num_groups=groups, eps=self.epsilon, silu=silu
+                )
+            # Large 4-D maps (the VAE's 256^2 norms, ~34 MB/sample) reuse the
+            # same two-phase kernels by viewing (N, H, W, C) as (N, s, H/s*W, C):
+            # stats per sample over all of H,W either way.
+            if x.ndim == 4 and _os.environ.get("CAMC2V_GN_TEMPORAL", "0") == "1":
+                n_, h_, w_, c_ = x.shape
+                for s_ in range(2, h_ + 1):
+                    if h_ % s_ != 0:
+                        continue
+                    xv = x.reshape(n_, s_, (h_ // s_) * w_, c_)
+                    if gnops.group_norm_temporal_supported(xv, groups):
+                        return gnops.group_norm_fused_temporal(
+                            xv, scale, bias, num_groups=groups, eps=self.epsilon, silu=silu
+                        ).reshape(x.shape)
         return gnops.group_norm_plain(
             x, scale, bias, num_groups=groups, eps=self.epsilon, silu=silu
         )
@@ -123,6 +145,18 @@ class LayerNormF32(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from camc2v_tpu.ops import layernorm as lnops
+
+        import os as _os
+
+        if (
+            jax.default_backend() != "cpu"
+            and lnops.layer_norm_supported(x)
+            and _os.environ.get("CAMC2V_LN_FUSED", "0") == "1"
+        ):
+            # same param tree as the nn.LayerNorm path (LayerNorm_0/{scale,bias})
+            scale, bias = _LNScaleBias(x.shape[-1], name="LayerNorm_0")()
+            return lnops.layer_norm_fused(x, scale, bias, eps=self.epsilon)
         orig_dtype = x.dtype
         out = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32, param_dtype=jnp.float32)(
             x.astype(jnp.float32)

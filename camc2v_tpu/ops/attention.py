@@ -24,7 +24,11 @@ import jax.numpy as jnp
 # Pallas flash kernel is used automatically on TPU for large sequence lengths;
 # override with use_pallas_flash(True/False) to force either path.
 _USE_PALLAS_FLASH: Optional[bool] = None
-_MIN_FLASH_LEN = 512
+# Min query length for the flash path. 512 keeps short-seq attention on XLA;
+# override (e.g. 256) via env to route the ds16 cross-attn sites to flash.
+import os as _os
+
+_MIN_FLASH_LEN = int(_os.environ.get("CAMC2V_MIN_FLASH_LEN", "512"))
 
 
 def use_pallas_flash(enabled: Optional[bool] = True) -> None:

@@ -32,6 +32,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_Q = 256
 BLOCK_K = 1024
+
+import os as _os
+
+_MIN_FLASH_LK = int(_os.environ.get("CAMC2V_MIN_FLASH_LK", str(BLOCK_K // 2)))
 NEG_INF = -1e30
 MAX_HEADS_FUSED = 32  # VMEM budget guard for the per-step head loop
 
@@ -46,8 +50,10 @@ def flash_supported(q: jax.Array, k: jax.Array, mask: Optional[jax.Array]) -> bo
     if lq % BLOCK_Q != 0:
         return False
     # the key axis is padded to a BLOCK_K multiple internally (register tokens
-    # make Lk = L + num_registers); only reject pathological amounts of padding
-    if lk < BLOCK_K // 2:
+    # make Lk = L + num_registers); only reject pathological amounts of padding.
+    # Padding is pure MXU headroom (43 GFLOP worst case at ds8 text Lk=77),
+    # so the floor is env-tunable for A/B: CAMC2V_MIN_FLASH_LK.
+    if lk < _MIN_FLASH_LK:
         return False
     if mask is not None and mask.shape != (b, lq, lk):
         return False

@@ -262,6 +262,128 @@ def group_norm_fused_big(x, scale, bias, *, num_groups=32, eps=1e-5, silu=False)
     return _group_norm_big(x, scale, bias, num_groups, eps, silu)
 
 
+def _gn_row_moments_kernel(x_ref, o_ref):
+    """Per-(B*T) row raw moments: o[0] = [sum(x), sum(x*x)] over HW, per channel."""
+    x = x_ref[0].astype(jnp.float32)  # (HW, C)
+    s1 = jnp.sum(x, axis=0, keepdims=True)
+    s2 = jnp.sum(x * x, axis=0, keepdims=True)
+    o_ref[0] = jnp.concatenate([s1, s2], axis=0)  # (2, C)
+
+
+def _gn_apply_kernel(x_ref, stats_ref, scale_ref, bias_ref, o_ref, *, silu):
+    """Normalise one (HW, C) row with precomputed per-batch channel stats."""
+    x = x_ref[0].astype(jnp.float32)
+    mean_c = stats_ref[0, 0:1]  # (1, C) f32
+    inv_c = stats_ref[0, 1:2]
+    y = (x - mean_c) * inv_c
+    y = y * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(jnp.float32)
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _fused_temporal_impl(x, scale, bias, num_groups, eps, silu):
+    """5-D temporal GN (stats per (B, group) over T*H*W) as TWO row-parallel
+    kernels sharing the proven 4-D (B*T, HW, C) block layout.
+
+    The one-call streaming kernel (`_gn_big_kernel`) ran at roofline but XLA
+    wrapped every call site in 42 MB layout-normalisation copies (grid over
+    (B, 2, T) with revisited output blocks forces a non-default result
+    layout). Here both kernels are plain row-parallel maps over the SAME
+    (N, HW, C) view the proven `_gn_kernel` uses, so operand/result layouts
+    match the surrounding frame-wise graph; the cross-row group reduction
+    happens in-graph on a tiny (B, 2, C) array between the two calls.
+    """
+    orig_shape = x.shape
+    b, t = x.shape[0], x.shape[1]
+    c = x.shape[-1]
+    hw = 1
+    for s in x.shape[2:-1]:
+        hw *= s
+    n = b * t
+    cg = c // num_groups
+    xf = x.reshape(n, hw, c)
+    interp = jax.default_backend() == "cpu"
+
+    mom = pl.pallas_call(
+        _gn_row_moments_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, 2, c), jnp.float32),
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, 2, c), lambda i: (i, 0, 0)),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        interpret=interp,
+    )(xf)
+
+    # tiny in-graph combine: (B,T,2,C) -> per-(B, group) mean / inv-std
+    mom_b = mom.reshape(b, t, 2, c).sum(axis=1)  # (B, 2, C)
+    A = (
+        jnp.arange(c)[:, None] // cg == jnp.arange(num_groups)[None, :]
+    ).astype(jnp.float32)  # (C, G)
+    n_elems = float(t * hw * cg)
+    mean_g = (mom_b[:, 0] @ A) / n_elems  # (B, G)
+    ex2_g = (mom_b[:, 1] @ A) / n_elems
+    var_g = jnp.maximum(ex2_g - mean_g * mean_g, 0.0)
+    mean_c = mean_g @ A.T  # (B, C)
+    inv_c = jax.lax.rsqrt(var_g + eps) @ A.T
+    stats = jnp.stack([mean_c, inv_c], axis=1)  # (B, 2, C) f32
+
+    out = pl.pallas_call(
+        functools.partial(_gn_apply_kernel, silu=silu),
+        out_shape=jax.ShapeDtypeStruct((n, hw, c), x.dtype),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 2, c), lambda i: (i // t, 0, 0)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0)),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        interpret=interp,
+    )(xf, stats, scale, bias)
+    return out.reshape(orig_shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _group_norm_temporal(x, scale, bias, num_groups, eps, silu):
+    return _fused_temporal_impl(x, scale, bias, num_groups, eps, silu)
+
+
+def _gn_temporal_fwd(x, scale, bias, num_groups, eps, silu):
+    return _group_norm_temporal(x, scale, bias, num_groups, eps, silu), (x, scale, bias)
+
+
+_group_norm_temporal.defvjp(_gn_temporal_fwd, _gn_bwd)
+
+
+def group_norm_fused_temporal(x, scale, bias, *, num_groups=32, eps=1e-5, silu=False):
+    """GN for 5-D (B, T, H, W, C) inputs: stats per (B, group) over (T, H, W).
+
+    Raw-moment variance (vs the exact two-pass of the 4-D kernel): the cross-
+    row combine cannot re-read x without a third HBM pass; f32 raw moments on
+    normalised-scale activations keep ~1e-4 relative accuracy, below bf16
+    output rounding. Backward recomputes through the exact plain twin.
+    """
+    return _group_norm_temporal(x, scale, bias, num_groups, eps, silu)
+
+
+def group_norm_temporal_supported(x: jax.Array, num_groups: int) -> bool:
+    # (B, T, ..., C): stats per (B, group) over everything between. 4-D views
+    # (B, chunks, hw, C) from the chunked large-map dispatch qualify too.
+    if x.ndim < 4:
+        return False
+    c = x.shape[-1]
+    if c % num_groups != 0 or c < 128 or c % 8 != 0:
+        return False
+    hw = 1
+    for s in x.shape[2:-1]:
+        hw *= s
+    if hw % 8 != 0:
+        return False
+    return hw * c * (x.dtype.itemsize * 2 + 4) <= _MAX_VMEM_BYTES
+
+
 def group_norm_big_supported(x: jax.Array, num_groups: int) -> bool:
     if x.ndim < 4:
         return False

@@ -250,6 +250,86 @@ def test_big_input_two_phase_kernel():
     assert np.isfinite(np.asarray(g)).all()
 
 
+def test_temporal_two_kernel_groupnorm():
+    """(B, T, H, W, C) temporal norms via the split moments+apply kernel pair."""
+    import flax.linen as nn
+
+    from camc2v_tpu.ops.groupnorm import (
+        group_norm_fused_temporal,
+        group_norm_temporal_supported,
+    )
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 4, 8, 8, 128)) * 2 + 0.7, jnp.float32)
+    scale = jnp.asarray(rng.normal(size=(128,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(128,)), jnp.float32)
+    assert group_norm_temporal_supported(x, 32)
+
+    gn = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32)
+    ref = gn.apply({"params": {"scale": scale, "bias": bias}}, x)
+    out = group_norm_fused_temporal(x, scale, bias, num_groups=32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4)
+
+    out_s = group_norm_fused_temporal(x, scale, bias, num_groups=32, silu=True)
+    np.testing.assert_allclose(
+        np.asarray(out_s), np.asarray(ref) * jax.nn.sigmoid(np.asarray(ref)), atol=5e-4
+    )
+    # bf16 input path + gradient through the plain-twin VJP
+    out_b = group_norm_fused_temporal(x.astype(jnp.bfloat16), scale, bias, num_groups=32)
+    np.testing.assert_allclose(
+        np.asarray(out_b, np.float32), np.asarray(ref), atol=0.05, rtol=0.05
+    )
+    g = jax.grad(
+        lambda a: jnp.sum(group_norm_fused_temporal(a, scale, bias, num_groups=32) ** 2)
+    )(x)
+    g_ref = jax.grad(
+        lambda a: jnp.sum(gn.apply({"params": {"scale": scale, "bias": bias}}, a) ** 2)
+    )(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=5e-3)
+
+
+def test_fused_layer_norm():
+    """Row-parallel LN kernel vs flax LayerNorm, fwd + grad, f32 and bf16."""
+    import flax.linen as nn
+
+    from camc2v_tpu.ops.layernorm import (
+        layer_norm_fused, layer_norm_plain, layer_norm_supported,
+    )
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(32, 48, 320)) * 1.5 + 0.3, jnp.float32)
+    scale = jnp.asarray(rng.normal(size=(320,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(320,)), jnp.float32)
+    assert layer_norm_supported(x)
+
+    ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32)
+    ref = ln.apply({"params": {"scale": scale, "bias": bias}}, x)
+    for fn in (layer_norm_plain, layer_norm_fused):
+        np.testing.assert_allclose(
+            np.asarray(fn(x, scale, bias, eps=1e-5)), np.asarray(ref), atol=1e-4
+        )
+
+    out_b = layer_norm_fused(x.astype(jnp.bfloat16), scale, bias, eps=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_b, np.float32), np.asarray(ref), atol=0.08, rtol=0.05
+    )
+
+    g = jax.grad(lambda a: jnp.sum(layer_norm_fused(a, scale, bias) ** 2))(x)
+    g_ref = jax.grad(
+        lambda a: jnp.sum(ln.apply({"params": {"scale": scale, "bias": bias}}, a) ** 2)
+    )(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=5e-3)
+
+    # odd-but-supported channel counts and row tiles
+    x2 = jnp.asarray(rng.normal(size=(8, 1024)), jnp.float32)
+    assert layer_norm_supported(x2)
+    np.testing.assert_allclose(
+        np.asarray(layer_norm_fused(x2, jnp.ones((1024,)), jnp.zeros((1024,)))),
+        np.asarray(layer_norm_plain(x2, jnp.ones((1024,)), jnp.zeros((1024,)))),
+        atol=1e-4,
+    )
+
+
 def test_kernel_head_groups():
     """heads=10 -> hb=5, g=2: the heads-major output path (g>1)."""
     F = _realistic_F()
@@ -267,3 +347,25 @@ def test_kernel_head_groups():
     regmask = jnp.broadcast_to((jnp.arange(BK) < R)[None, None], (B, LQ, BK))
     out1 = flash_attention(q, k, v, mask=jnp.concatenate([mask, regmask], axis=-1))
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out1), atol=2e-6)
+
+
+def test_chunked_4d_groupnorm_view():
+    """(N, H, W, C) viewed as (N, s, H/s*W, C) through the temporal kernel
+    pair gives per-sample full-map stats (the VAE 256^2 dispatch)."""
+    import flax.linen as nn
+
+    from camc2v_tpu.ops.groupnorm import (
+        group_norm_fused_temporal, group_norm_temporal_supported,
+    )
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(2, 16, 8, 128)) * 1.3 - 0.2, jnp.float32)
+    scale = jnp.asarray(rng.normal(size=(128,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(128,)), jnp.float32)
+
+    gn = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32, param_dtype=jnp.float32)
+    ref = gn.apply({"params": {"scale": scale, "bias": bias}}, x)
+    xv = x.reshape(2, 4, 4 * 8, 128)
+    assert group_norm_temporal_supported(xv, 32)
+    out = group_norm_fused_temporal(xv, scale, bias, num_groups=32, eps=1e-6).reshape(x.shape)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4)

@@ -84,3 +84,13 @@ def test_flash_gradients_match_xla():
     gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_flash_short_keys_padded():
+    """Lk far below BLOCK_K (the text-context 77-token case) pads internally
+    with masked-out keys and matches XLA exactly."""
+    for lq, lk in ((BLOCK_Q, 77), (BLOCK_Q, 256), (2 * BLOCK_Q, 77)):
+        q, k, v = _qkv(lq=lq, lk=lk, seed=7)
+        out = flash_attention(q, k, v)
+        ref = _xla_attention(q, k, v, bias=None, mask=None, scale=D**-0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
