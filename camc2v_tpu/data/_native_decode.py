@@ -42,6 +42,13 @@ _lib.vd_pool_submit.restype = ctypes.c_long
 _lib.vd_pool_submit.argtypes = [
     ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_long), ctypes.c_int,
 ]
+_lib.vd_pool_submit_scaled.restype = ctypes.c_long
+_lib.vd_pool_submit_scaled.argtypes = [
+    ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_long), ctypes.c_int,
+    ctypes.c_int, ctypes.c_int,
+]
+_lib.vd_open_scaled.restype = ctypes.c_void_p
+_lib.vd_open_scaled.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
 _lib.vd_pool_fetch.restype = ctypes.c_int
 _lib.vd_pool_fetch.argtypes = [
     ctypes.c_void_p, ctypes.c_long, ctypes.POINTER(ctypes.c_ubyte),
@@ -93,9 +100,15 @@ class DecodePool:
     def __init__(self, n_threads: int = 4):
         self._p = _lib.vd_pool_create(n_threads)
 
-    def submit(self, path: str, indices) -> int:
+    def submit(self, path: str, indices, target_hw=None) -> int:
+        """target_hw=(H, W): decode pre-scaled (aspect-preserving, pre-crop
+        dims of resize_center_crop) inside the GIL-free pool thread."""
         n = len(indices)
         idx = (ctypes.c_long * n)(*[int(i) for i in indices])
+        if target_hw is not None:
+            return int(_lib.vd_pool_submit_scaled(
+                self._p, path.encode(), idx, n, int(target_hw[0]), int(target_hw[1])
+            ))
         return int(_lib.vd_pool_submit(self._p, path.encode(), idx, n))
 
     def fetch(self, ticket: int, n_frames: int) -> np.ndarray:

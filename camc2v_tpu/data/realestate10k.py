@@ -143,11 +143,16 @@ def resize_center_crop(
     import cv2
 
     t, ori_h, ori_w = frames.shape[:3]
+    # truncation (not round) matches the reference exactly:
+    # CamContextI2V/data/realestate10k.py:121-129 `int(ori_W * H / ori_H)`
     if ori_w / ori_h > W / H:
-        new_h, new_w = H, int(round(ori_w * H / ori_h))
+        new_h, new_w = H, int(ori_w * H / ori_h)
     else:
-        new_h, new_w = int(round(ori_h * W / ori_w)), W
-    resized = np.stack([cv2.resize(f, (new_w, new_h), interpolation=cv2.INTER_LINEAR) for f in frames])
+        new_h, new_w = int(ori_h * W / ori_w), W
+    if (new_h, new_w) == (ori_h, ori_w):
+        resized = frames  # already at target scale (native pre-scaled decode)
+    else:
+        resized = np.stack([cv2.resize(f, (new_w, new_h), interpolation=cv2.INTER_LINEAR) for f in frames])
     top = (new_h - H) // 2
     left = (new_w - W) // 2
     cropped = resized[:, top : top + H, left : left + W]
@@ -490,7 +495,8 @@ class DataLoader:
                 if self._pool is not None:
                     indices = list(plan["frame_indices"]) + (plan["context_indices"] or [])
                     try:
-                        ticket = self._pool.submit(plan["video_path"], indices)
+                        target = getattr(self.dataset, "resolution", None)
+                        ticket = self._pool.submit(plan["video_path"], indices, target_hw=target)
                         frames = self._pool.fetch(ticket, len(indices))
                     except Exception:
                         frames = None  # container libav can't read (e.g. .npz) — sync fallback

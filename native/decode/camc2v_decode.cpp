@@ -23,6 +23,7 @@ extern "C" {
 }
 
 #include <algorithm>
+#include <cmath>
 #include <atomic>
 #include <condition_variable>
 #include <cstring>
@@ -41,7 +42,8 @@ struct VideoHandle {
   AVCodecContext* codec = nullptr;
   SwsContext* sws = nullptr;
   int stream_idx = -1;
-  int width = 0, height = 0;
+  int width = 0, height = 0;      // source dims
+  int out_width = 0, out_height = 0;  // sws output dims (== source unless scaled)
   double fps = 0.0;
   int64_t num_frames = 0;
   std::vector<int64_t> pts_index;  // frame index -> pts (built lazily)
@@ -90,6 +92,8 @@ void* vd_open(const char* path) {
   h->fps = fr.den ? (double)fr.num / fr.den : 30.0;
   h->num_frames = st->nb_frames;
   if (h->num_frames <= 0) build_pts_index(h.get());
+  h->out_width = h->width;
+  h->out_height = h->height;
   h->sws = sws_getContext(h->width, h->height, h->codec->pix_fmt, h->width, h->height,
                           AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr, nullptr);
   if (!h->sws) return nullptr;
@@ -105,10 +109,37 @@ void vd_close(void* handle) {
   delete h;
 }
 
+// Like vd_open, but the sws stage also does the loader's aspect-preserving
+// resize (the pre-crop step of data/realestate10k.py::resize_center_crop)
+// so frames cross the C<->Python boundary already at target scale and the
+// GIL-holding finish() phase skips its per-frame cv2.resize. Dim formula
+// matches the Python exactly (truncation, as the reference does).
+void* vd_open_scaled(const char* path, int target_h, int target_w) {
+  auto* h = (VideoHandle*)vd_open(path);
+  if (!h || target_h <= 0 || target_w <= 0) return h;
+  double ow = h->width, oh = h->height;
+  int new_h, new_w;
+  if (ow / oh > (double)target_w / target_h) {
+    new_h = target_h;
+    new_w = (int)(ow * target_h / oh);
+  } else {
+    new_h = (int)(oh * target_w / ow);
+    new_w = target_w;
+  }
+  if (new_w == h->width && new_h == h->height) return h;
+  sws_freeContext(h->sws);
+  h->out_width = new_w;
+  h->out_height = new_h;
+  h->sws = sws_getContext(h->width, h->height, h->codec->pix_fmt, new_w, new_h,
+                          AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr, nullptr);
+  if (!h->sws) { vd_close(h); return nullptr; }
+  return h;
+}
+
 long vd_num_frames(void* handle) { return (long)((VideoHandle*)handle)->num_frames; }
 double vd_fps(void* handle) { return ((VideoHandle*)handle)->fps; }
-int vd_width(void* handle) { return ((VideoHandle*)handle)->width; }
-int vd_height(void* handle) { return ((VideoHandle*)handle)->height; }
+int vd_width(void* handle) { return ((VideoHandle*)handle)->out_width; }
+int vd_height(void* handle) { return ((VideoHandle*)handle)->out_height; }
 
 // Decode the requested (sorted or unsorted) frame indices into out_rgb
 // (n * H * W * 3, caller-allocated). Returns 0 on success.
@@ -124,7 +155,7 @@ int vd_get_batch(void* handle, const long* indices, int n, unsigned char* out_rg
 
   AVPacket* pkt = av_packet_alloc();
   AVFrame* frame = av_frame_alloc();
-  const size_t frame_bytes = (size_t)h->width * h->height * 3;
+  const size_t frame_bytes = (size_t)h->out_width * h->out_height * 3;
 
   int want = 0;              // position in `order`
   int64_t next_frame = -1;   // decoder cursor (frame counter)
@@ -162,7 +193,7 @@ int vd_get_batch(void* handle, const long* indices, int n, unsigned char* out_rg
       while (want < n && next_frame == order[want].first) {
         unsigned char* dst = out_rgb + frame_bytes * order[want].second;
         uint8_t* dst_planes[1] = {dst};
-        int dst_stride[1] = {3 * h->width};
+        int dst_stride[1] = {3 * h->out_width};
         sws_scale(h->sws, frame->data, frame->linesize, 0, h->height, dst_planes, dst_stride);
         want++;
       }
@@ -183,6 +214,7 @@ struct PoolJob {
   std::vector<long> indices;
   std::vector<unsigned char> rgb;
   int h = 0, w = 0;
+  int target_h = 0, target_w = 0;  // >0: decode pre-scaled (vd_open_scaled)
   int status = 0;  // 0 pending, 1 done, <0 error
 };
 
@@ -205,7 +237,8 @@ struct DecodePool {
         job = queue.front();
         queue.pop_front();
       }
-      void* h = vd_open(job->path.c_str());
+      void* h = job->target_h > 0 ? vd_open_scaled(job->path.c_str(), job->target_h, job->target_w)
+                                   : vd_open(job->path.c_str());
       if (!h) {
         job->status = -1;
       } else {
@@ -242,18 +275,25 @@ void vd_pool_destroy(void* pool) {
   delete p;
 }
 
-long vd_pool_submit(void* pool, const char* path, const long* indices, int n) {
+long vd_pool_submit_scaled(void* pool, const char* path, const long* indices, int n,
+                           int target_h, int target_w) {
   auto* p = (DecodePool*)pool;
   auto job = std::make_shared<PoolJob>();
   job->ticket = p->next_ticket++;
   job->path = path;
   job->indices.assign(indices, indices + n);
+  job->target_h = target_h;
+  job->target_w = target_w;
   {
     std::lock_guard<std::mutex> lock(p->mu);
     p->queue.push_back(job);
   }
   p->cv_submit.notify_one();
   return job->ticket;
+}
+
+long vd_pool_submit(void* pool, const char* path, const long* indices, int n) {
+  return vd_pool_submit_scaled(pool, path, indices, n, 0, 0);
 }
 
 // Blocks until the job completes; copies frames out. Returns 0 ok, <0 error.

@@ -219,3 +219,68 @@ def test_native_pool_prefetch_mp4(mp4_dataset_dir):
         assert b["video"].min() >= -1.0 and b["video"].max() <= 1.0
     print(f"prefetch mp4 epoch: {dt*1000:.1f} ms")
     dl.close()
+
+
+def test_native_pool_scaled_decode(mp4_dataset_dir, tmp_path):
+    """Pool decode with target_hw returns frames at the pre-crop resize dims
+    of resize_center_crop (reference truncation formula), close to a cv2
+    resize on smooth content (sws filtered bilinear vs cv2 bilinear differ
+    strongly only on aliased/noise content)."""
+    nd = pytest.importorskip("camc2v_tpu.data._native_decode")
+    import cv2
+
+    # smooth gradient clip: downscale filters must agree closely here
+    path = str(tmp_path / "smooth.mp4")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (W_SRC, H_SRC))
+    yy, xx = np.mgrid[0:H_SRC, 0:W_SRC]
+    for i in range(8):
+        frame = np.stack(
+            [
+                (xx * 255 // W_SRC),
+                (yy * 255 // H_SRC),
+                ((xx + yy + i * 10) * 255 // (H_SRC + W_SRC)) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        vw.write(frame)
+    vw.release()
+
+    H_t = W_t = 64
+    if W_SRC / H_SRC > W_t / H_t:
+        exp_h, exp_w = H_t, int(W_SRC * H_t / H_SRC)
+    else:
+        exp_h, exp_w = int(H_SRC * W_t / W_SRC), W_t
+
+    pool = nd.DecodePool(1)
+    try:
+        t1 = pool.submit(path, [0, 3, 5], target_hw=(H_t, W_t))
+        scaled = pool.fetch(t1, 3)
+        t2 = pool.submit(path, [0, 3, 5])
+        native = pool.fetch(t2, 3)
+    finally:
+        pool.close()
+
+    assert scaled.shape == (3, exp_h, exp_w, 3)
+    assert native.shape == (3, H_SRC, W_SRC, 3)
+    ref = np.stack(
+        [cv2.resize(f, (exp_w, exp_h), interpolation=cv2.INTER_LINEAR) for f in native]
+    )
+    diff = np.abs(scaled.astype(np.int16) - ref.astype(np.int16))
+    assert float(diff.mean()) < 4.0, diff.mean()
+
+
+def test_prefetch_loader_uses_scaled_decode(mp4_dataset_dir):
+    """The prefetch path passes dataset.resolution to the pool; finish() skips
+    its cv2 resize (identity when dims already match) and output contracts
+    hold."""
+    pytest.importorskip("camc2v_tpu.data._native_decode")
+    ds = _dataset(mp4_dataset_dir, video_suffix=".mp4")
+    dl = DataLoader(ds, batch_size=2, shuffle=False, drop_last=False, num_workers=2)
+    assert dl._pool is not None
+    batches = list(dl)
+    assert len(batches) == 2
+    for b in batches:
+        assert b["video"].shape[2:] == (64, 64, 3)
+        assert np.isfinite(b["video"]).all()
+        assert b["video"].min() >= -1.0 and b["video"].max() <= 1.0
+    dl.close()
