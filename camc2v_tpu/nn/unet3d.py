@@ -83,6 +83,9 @@ class UNetConfig:
     add_type: str = "add_to_main_branch"
     camera_mode: str = "plucker_epipolar"  # or "motionctrl" / "cameractrl"
     pose_dim: int = 12
+    # rematerialise blocks in the training backward (flagship OOMs without);
+    # no effect on inference (gated on deterministic=False)
+    remat: bool = True
 
     def heads_for(self, ch: int) -> tuple[int, int]:
         if self.num_head_channels == -1:
@@ -272,16 +275,35 @@ class UNetModel(nn.Module):
         return out
 
     def _apply_block(self, layers, h, emb, context, b, camera_level, deterministic, context_mask=None):
+        # Training (deterministic=False) rematerialises each block in the
+        # backward pass: without it the flagship value_and_grad keeps every
+        # forward activation live (f32 masters 6 GB + bf16 cast 3 GB leave no
+        # room on a 16 GB chip). Inference paths are untouched. Matches the
+        # reference's torch checkpoint wrapping (lvdm/modules/networks/
+        # openaimodel3d.py:109-279 via basics.py checkpoint).
+        remat = self.config.remat and not deterministic
+
+        def lift(fn):
+            return nn.remat(fn) if remat else fn
+
         for kind, module in layers:
             if kind == "res":
-                h = module(h, emb, batch_size=b, deterministic=deterministic)
+                h = lift(lambda m, h_, e_: m(h_, e_, batch_size=b, deterministic=deterministic))(
+                    module, h, emb
+                )
             elif kind == "spatial":
-                h = module(h, context=context, context_mask=context_mask, deterministic=deterministic)
+                h = lift(
+                    lambda m, h_, c_, cm_: m(
+                        h_, context=c_, context_mask=cm_, deterministic=deterministic
+                    )
+                )(module, h, context, context_mask)
             elif kind == "temporal":
                 n, hh, ww, c = h.shape
                 t = n // b
                 h5 = h.reshape(b, t, hh, ww, c)
-                h5 = module(h5, camera=camera_level, deterministic=deterministic)
+                h5 = lift(lambda m, h_, cam_: m(h_, camera=cam_, deterministic=deterministic))(
+                    module, h5, camera_level
+                )
                 h = h5.reshape(n, hh, ww, c)
             else:  # downsample / upsample
                 h = module(h)
