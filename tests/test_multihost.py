@@ -17,6 +17,12 @@ import pytest
 _WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
 
 
+# Workers compile a tiny CamContextI2V graph each; standalone that is ~3-7
+# min, but under full-suite + TPU-queue load it has exceeded 15 min (round-3
+# suite run killed both workers at 900s). Generous ceiling, cheap when green.
+_DEADLINE_S = 2400
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -41,7 +47,7 @@ def test_two_process_distributed_train_step(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=900)
+            out, _ = p.communicate(timeout=_DEADLINE_S)
         except subprocess.TimeoutExpired:
             p.kill()
             out, _ = p.communicate()
@@ -95,7 +101,7 @@ def test_two_process_generation_disjoint_shards(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=900)
+            out, _ = p.communicate(timeout=_DEADLINE_S)
         except subprocess.TimeoutExpired:
             p.kill()
             out, _ = p.communicate()
