@@ -306,6 +306,12 @@ def build_train_config(cfg: dict, num_devices: int = 1) -> TrainConfig:
     if not patterns:
         patterns = [r"^unet/"]  # DynamiCrafter default: train the UNet
 
+    # reference `precision: "16-mixed"` (configs/models/camcontexti2v_256.yaml:209)
+    # = half-precision non-master weights; TPU analogue is bf16 frozen params
+    # with fp32 masters kept only for the trainable subset.
+    precision = str(lightning.get("precision", "32") or "32")
+    frozen_dtype = "bfloat16" if ("16" in precision and precision != "32") else None
+
     return TrainConfig(
         learning_rate=mnode.get("base_learning_rate", 1e-4),
         scale_lr=mnode.get("scale_lr", False),
@@ -315,6 +321,7 @@ def build_train_config(cfg: dict, num_devices: int = 1) -> TrainConfig:
         use_ema=p.get("use_ema", False),
         trainable_patterns=tuple(patterns),
         max_steps=lightning.get("max_steps", 50000),
+        frozen_param_dtype=frozen_dtype,
     )
 
 

@@ -41,6 +41,14 @@ class TrainConfig:
     ema_decay: float = 0.9999
     # regex patterns matched against '/'-joined param paths; empty => all trainable
     trainable_patterns: tuple[str, ...] = ()
+    # dtype for FROZEN param leaves in the train state (e.g. "bfloat16").
+    # None keeps fp32 everywhere. The reference's `precision: "16-mixed"` +
+    # ZeRO-1 recipe (configs/models/camcontexti2v_256.yaml:208-209) holds
+    # non-trainable params in half precision — at flagship scale (97M trainable
+    # of 2852M total) fp32 frozen masters alone are 11.4 GB and cannot fit a
+    # 16 GB chip next to the backward's 6 GB of temps. Compute is bf16 either
+    # way; only fp32-stat upcasts of frozen weights see the (one-time) rounding.
+    frozen_param_dtype: Optional[str] = None
     # lr scheduler: None | ("lambda_warmup", warmup_steps) | ("cosine", t_max, eta_min)
     lr_schedule: Optional[tuple] = None
     max_steps: int = 50000
@@ -111,7 +119,29 @@ def make_optimizer(cfg: TrainConfig, params: Any, world_batch_scale: float = 1.0
     )
 
 
+def cast_frozen_params(cfg: TrainConfig, params: Any) -> Any:
+    """Cast frozen float param leaves to cfg.frozen_param_dtype (no-op when None).
+
+    Trainable leaves keep fp32 masters. Only floating leaves are cast; the
+    label set is cfg.trainable_patterns, so this must be applied AFTER the
+    final trainable set is known (flag-schedule phases that change
+    trainability must not use frozen casting on leaves they later unfreeze).
+    """
+    if cfg.frozen_param_dtype is None:
+        return params
+    dt = jnp.dtype(cfg.frozen_param_dtype)
+    labels = param_labels(params, cfg.trainable_patterns)
+
+    def cast(lab, p):
+        if lab == "train" or not jnp.issubdtype(jnp.asarray(p).dtype, jnp.floating):
+            return p
+        return jnp.asarray(p, dt)
+
+    return jax.tree_util.tree_map(cast, labels, params)
+
+
 def init_train_state(cfg: TrainConfig, params: Any, world_batch_scale: float = 1.0) -> TrainState:
+    params = cast_frozen_params(cfg, params)
     tx = make_optimizer(cfg, params, world_batch_scale)
     return TrainState(
         params=params,

@@ -108,6 +108,54 @@ def test_data_parallel_mesh_8_devices(model_and_params):
     assert p_leaf.sharding.is_fully_replicated
 
 
+def test_frozen_param_dtype_bf16(model_and_params):
+    """frozen_param_dtype casts only frozen float leaves; training still runs.
+
+    Reference analogue: `precision: "16-mixed"` holds non-master weights in
+    half precision (configs/models/camcontexti2v_256.yaml:209) — here frozen
+    leaves go bf16 while the trainable subset keeps fp32 masters.
+    """
+    model, params = model_and_params
+    cfg = TR.TrainConfig(
+        trainable_patterns=("^image_proj/",), frozen_param_dtype="bfloat16"
+    )
+    state = TR.init_train_state(cfg, params)
+    for leaf in jax.tree_util.tree_leaves(state.params["unet"]):
+        assert leaf.dtype == jnp.bfloat16, "frozen leaves must be bf16"
+    for leaf in jax.tree_util.tree_leaves(state.params["image_proj"]):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32, "trainable masters must stay fp32"
+    step = jax.jit(TR.make_train_step(model, cfg))
+    new_state, metrics = step(state, _batch(), jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+    # frozen leaves bit-identical (no optimizer touch), trainable moved in fp32
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params["unet"]),
+        jax.tree_util.tree_leaves(new_state.params["unet"]),
+    ):
+        assert b.dtype == jnp.bfloat16
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params["image_proj"]),
+            jax.tree_util.tree_leaves(new_state.params["image_proj"]),
+        )
+    )
+    assert moved
+
+
+def test_precision_yaml_maps_to_frozen_bf16():
+    from camc2v_tpu.config_yaml import build_train_config
+
+    base = {
+        "model": {"base_learning_rate": 1e-4, "params": {}},
+        "lightning": {"trainer": {"precision": "16-mixed"}},
+    }
+    assert build_train_config(base).frozen_param_dtype == "bfloat16"
+    base["lightning"]["trainer"]["precision"] = "32"
+    assert build_train_config(base).frozen_param_dtype is None
+
+
 def test_zero1_sharding_splits_largest_axis():
     mesh = M.make_mesh()
     tree = {"a": jnp.zeros((16, 3)), "b": jnp.zeros((3, 5)), "c": jnp.zeros(())}

@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--accum", type=int, default=4)
     ap.add_argument("--steps", type=int, default=6)
+    ap.add_argument("--fp32-frozen", action="store_true",
+                    help="keep frozen params fp32 (default bf16, matching the "
+                         "reference 16-mixed recipe; fp32 frozen cannot fit one chip)")
     args = ap.parse_args()
 
     import jax
@@ -77,6 +80,7 @@ def main():
         trainable_patterns=(r"^adaptor/", r"^image_proj/", r"^zero_conv/"),
         accumulate_grad_batches=args.accum,
         learning_rate=1e-4,
+        frozen_param_dtype=None if args.fp32_frozen else "bfloat16",
     )
     mesh = M.make_mesh(jax.devices()[:1])
     state = TR.init_train_state(tr_cfg, params)
@@ -105,6 +109,7 @@ def main():
         "metric": "flagship_train_step_ms",
         "batch": args.batch,
         "accum": args.accum,
+        "frozen_dtype": "float32" if args.fp32_frozen else "bfloat16",
         "value": round(1e3 * float(np.median(times)), 1),
         "unit": "ms/step (wall, incl. ~40ms remote-tunnel dispatch)",
         "loss": round(float(metrics["loss"]), 4),
