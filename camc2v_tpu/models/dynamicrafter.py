@@ -441,6 +441,20 @@ class DynamiCrafter:
         fs = self.get_fs(batch)
         image_hw = batch["video"].shape[2:4]
 
+        # Sampling reuses ONE camera geometry for the whole denoise scan, so
+        # the epipolar masks can be materialised once as bf16 penalty tiles
+        # and streamed by the kernel for all 25 steps instead of recomputed
+        # from epipolar lines each step (training keeps the in-kernel path —
+        # its geometry changes every step).
+        epi_cfg = getattr(self.config, "epipolar", None)
+        cam = cond.get("camera")
+        if cam is not None and epi_cfg is not None and cam.get("epi_prep"):
+            from camc2v_tpu.nn.epipolar import add_precomputed_penalties
+
+            cam["epi_prep"] = add_precomputed_penalties(
+                cam["epi_prep"], epi_cfg, cfg.video_length
+            )
+
         ddim = DDIMSchedule.create(self.schedule, ddim_steps, timestep_spacing, ddim_eta)
         x_T = jax.random.normal(pkey, z.shape, jnp.float32)
 

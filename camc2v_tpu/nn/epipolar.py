@@ -74,6 +74,49 @@ def prepare_plain_epipolar(F, cfg: "EpipolarConfig") -> dict[int, dict]:
     return prep
 
 
+def add_precomputed_penalties(
+    prep: dict[int, dict], cfg: "EpipolarConfig", t: int,
+    max_level_bytes: Optional[int] = None,
+) -> dict[int, dict]:
+    """Augment sampler-hoisted epipolar prep with materialised bf16 penalty
+    tiles (ops/epipolar_flash.py::materialize_penalties).
+
+    Sampling reuses one camera geometry for all 25 DDIM steps, so the mask can
+    be built once and streamed by the kernel instead of being recomputed from
+    epipolar lines every step (the line-distance math is the dominant VPU cost
+    next to the softmax chain). Training paths must NOT call this — geometry
+    changes every step there, making the build a wash.
+
+    Gated by CAMC2V_EPI_PRECOMP (default OFF until the TPU A/B lands); levels
+    whose penalty array would exceed `max_level_bytes` (default 1.25 GB — the
+    fused CFG stack doubles it) keep the in-kernel path.
+    """
+    import os
+
+    from camc2v_tpu.ops import epipolar_flash as ef
+
+    if os.environ.get("CAMC2V_EPI_PRECOMP", "0") == "0":
+        return prep
+    if max_level_bytes is None:
+        max_level_bytes = int(1.25e9)
+    out = {}
+    for ds, entry in prep.items():
+        entry = dict(entry)
+        lines = entry.get("lines")
+        if lines is not None and "tile_any" in entry and "penalties" not in entry:
+            h = cfg.origin_h // ds
+            w = cfg.origin_w // ds
+            hw = h * w
+            block_k = ef.BLOCK_K if (hw % ef.BLOCK_K == 0 or ef.BLOCK_K % hw == 0) else hw
+            b, lq = lines.shape[:2]
+            if b * lq * (lq + block_k) * 2 <= max_level_bytes:
+                entry["penalties"] = ef.materialize_penalties(
+                    lines, t, h, w, ds, cfg.num_register_tokens, block_k
+                )
+        out[ds] = entry
+    return out
+
+
 @dataclasses.dataclass(frozen=True)
 class EpipolarConfig:
     """Static configuration of the epipolar attention modules (hashable)."""
@@ -122,6 +165,7 @@ class EpipolarCrossAttention(nn.Module):
         lines: Optional[jax.Array] = None,
         geom: Optional[tuple[int, int, int, int]] = None,
         tile_any: Optional[jax.Array] = None,
+        penalties: Optional[jax.Array] = None,
     ) -> jax.Array:
         """x: (B, L1, C); context: (B, L2, C); attn_mask: (B, L1, L2) bool (True=attend).
 
@@ -162,6 +206,7 @@ class EpipolarCrossAttention(nn.Module):
                 split(q), split(k), split(v), lines,
                 t=t, h=hh, w=ww, downsample=ds, block_k=block_k,
                 num_registers=self.num_register_tokens, tile_any=tile_any,
+                penalties=penalties,
             )
             out = out.reshape(b, -1, inner)
             out_dim = self.out_dim if self.out_dim is not None else self.query_dim
@@ -222,6 +267,7 @@ class Epipolar(nn.Module):
         lines = None
         geom = None
         tile_any = None
+        penalties = None
         if F is not None and masks is None and not cfg.is_3d_full_attn:
             # mask-free path: epipolar lines from the fundamental matrices;
             # in-kernel mask when the geometry tiles cleanly, else a
@@ -248,6 +294,7 @@ class Epipolar(nn.Module):
             )
             if kernel_ok:
                 geom = (t, hh, ww, ds, block_k)
+                penalties = level_prep.get("penalties")
             else:
                 attn_mask = ef.materialize_mask(lines, t, hh, ww, ds)
                 lines = None
@@ -278,7 +325,8 @@ class Epipolar(nn.Module):
             zero_init_out=True,
             dtype=self.dtype,
             name="epipolar_attn",
-        )(x, context, attn_mask, lines=lines, geom=geom, tile_any=tile_any)
+        )(x, context, attn_mask, lines=lines, geom=geom, tile_any=tile_any,
+          penalties=penalties)
 
         # (B, T*h*w, C) -> (B*h*w, T, C)
         return out.reshape(b, t, hh * ww, -1).transpose(0, 2, 1, 3).reshape(b * hh * ww, t, -1)

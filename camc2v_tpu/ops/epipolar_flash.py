@@ -289,12 +289,108 @@ def _v2_kernel(
             o_ref[0] = out.astype(o_ref.dtype)
 
 
+def materialize_penalties(
+    lines: jax.Array, t: int, h: int, w: int, downsample: int,
+    num_registers: int, block_k: int, dtype=jnp.bfloat16,
+) -> jax.Array:
+    """(B, Lq, Lk) additive attention penalties (0 visible / NEG_INF hidden).
+
+    The kernel-ready form of the epipolar mask: frame tokens use the
+    `dist < thresh` band, the trailing block_k tile holds `num_registers`
+    always-visible register tokens + hidden padding. bf16 holds -1e30 exactly
+    (8-bit exponent), so the precomputed tiles halve mask bandwidth vs i32.
+
+    Geometry-only — samplers build this ONCE per generation and reuse it for
+    all 25 denoise steps, trading ~0.5 GB of HBM (flagship ds8, fused-CFG b=2)
+    for the per-step in-kernel `|l . p|` distance math (the dominant VPU cost
+    of the v2 kernel next to the softmax chain).
+    """
+    b, lq = lines.shape[:2]
+    mask = materialize_mask(lines, t, h, w, downsample)
+    reg = jnp.arange(block_k) < num_registers
+    full = jnp.concatenate(
+        [mask, jnp.broadcast_to(reg[None, None], (b, lq, block_k))], axis=-1
+    )
+    return jnp.where(full, 0.0, NEG_INF).astype(dtype)
+
+
+def _v2p_kernel(
+    sub_any_ref, q_ref, k_ref, v_ref, pen_ref, o_ref,
+    m_scratch, l_scratch, acc_scratch,
+    *, nk, g, block_k, hw, sub, token_major,
+):
+    """Precomputed-penalty variant of `_v2_kernel`: the mask arrives as bf16
+    additive penalty tiles streamed from HBM instead of being recomputed from
+    epipolar lines every step. Same online softmax, same SUBTILE skipping off
+    the scalar-prefetched hull bitmap; register/pad columns are encoded in the
+    penalties, so the register-tile special case disappears.
+    """
+    bg = pl.program_id(0)
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nsub = block_k // sub
+
+    @pl.when(ki == 0)
+    def _():
+        m_scratch[:] = jnp.full_like(m_scratch, M_FLOOR)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    qb = q_ref[0]  # (Hb, BQ, D) — scale pre-folded
+
+    def update(s, vb):
+        m_prev = m_scratch[:]
+        m_new = jnp.maximum(jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True)), M_FLOOR)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_scratch[:] = alpha * l_scratch[:] + jnp.sum(p, axis=2, keepdims=True)
+        acc_scratch[:] = acc_scratch[:] * alpha + jax.lax.dot_general(
+            p.astype(vb.dtype), vb, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        m_scratch[:] = m_new
+
+    if block_k <= hw or hw > sub:
+        for j in range(nsub):
+            @pl.when(sub_any_ref[bg // g, qi, ki * nsub + j] != 0)
+            def _(j=j):
+                kb = k_ref[0, :, j * sub:(j + 1) * sub, :]
+                vb = v_ref[0, :, j * sub:(j + 1) * sub, :]
+                pen = pen_ref[0, :, j * sub:(j + 1) * sub].astype(jnp.float32)
+                s = jax.lax.dot_general(
+                    qb, kb, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+                ) + pen[None]
+                update(s, vb)
+    else:
+        any_sub = sub_any_ref[bg // g, qi, ki * nsub]
+        for j in range(1, nsub):
+            any_sub = any_sub | sub_any_ref[bg // g, qi, ki * nsub + j]
+
+        @pl.when(any_sub != 0)
+        def _():
+            s = jax.lax.dot_general(
+                qb, k_ref[0], (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            ) + pen_ref[0].astype(jnp.float32)[None]
+            update(s, v_ref[0])
+
+    @pl.when(ki == nk - 1)
+    def _():
+        l = l_scratch[:]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        out = acc_scratch[:] / safe_l
+        if token_major:
+            o_ref[0] = jnp.swapaxes(out, 0, 1).astype(o_ref.dtype)
+        else:
+            o_ref[0] = out.astype(o_ref.dtype)
+
+
 def _epipolar_flash_fwd_impl(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     lines: jax.Array,
     tile_any: jax.Array,
+    penalties: Optional[jax.Array] = None,
     *,
     t: int,
     h: int,
@@ -330,7 +426,10 @@ def _epipolar_flash_fwd_impl(
     sub = min(SUBTILE, block_k, hw)
     thresh = downsample * math.sqrt(2.0) / 2.0
 
-    hb = _head_group(heads, d, block_q, block_k, has_mask=False)
+    # the precomputed-penalty variant streams a (BQ, BK) bf16 tile per grid
+    # step — account it like a mask tile when sizing the head group (has_mask
+    # models an i32 tile, a safe overestimate for bf16)
+    hb = _head_group(heads, d, block_q, block_k, has_mask=penalties is not None)
     g = heads // hb
     qt = (q * jnp.asarray(scale, q.dtype)).transpose(0, 2, 1, 3).reshape(b * g, hb, lq, d)
     kt = k.transpose(0, 2, 1, 3).reshape(b * g, hb, lk, d)
@@ -372,18 +471,31 @@ def _epipolar_flash_fwd_impl(
         pltpu.VMEM((hb, block_q, 1), jnp.float32),
         pltpu.VMEM((hb, block_q, d), jnp.float32),
     ]
+    if penalties is not None:
+        assert penalties.shape == (b, lq, lk), (penalties.shape, (b, lq, lk))
+        pen_spec = pl.BlockSpec(
+            (1, block_q, block_k), lambda bg, qi, ki, *_: (bg // g, qi, ki)
+        )
+        kernel = functools.partial(
+            _v2p_kernel, nk=nk, g=g, block_k=block_k, hw=hw, sub=sub,
+            token_major=token_major,
+        )
+        last_in = (penalties, pen_spec)
+    else:
+        kernel = functools.partial(
+            _v2_kernel, nk=nk, g=g, block_k=block_k, w=w, hw=hw, downsample=downsample,
+            thresh=thresh, num_registers=num_registers, sub=sub, token_major=token_major,
+        )
+        last_in = (lines_t, lines_spec)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b * g, nq, nk),
-        in_specs=[q_spec, k_spec, k_spec, lines_spec],
+        in_specs=[q_spec, k_spec, k_spec, last_in[1]],
         out_specs=o_spec,
         scratch_shapes=scratch,
     )
     out = pl.pallas_call(
-        functools.partial(
-            _v2_kernel, nk=nk, g=g, block_k=block_k, w=w, hw=hw, downsample=downsample,
-            thresh=thresh, num_registers=num_registers, sub=sub, token_major=token_major,
-        ),
+        kernel,
         out_shape=jax.ShapeDtypeStruct(
             (b, lq, heads, d) if token_major else (b * g, hb, lq, d), q.dtype
         ),
@@ -396,23 +508,28 @@ def _epipolar_flash_fwd_impl(
             vmem_limit_bytes=max(1, block_q // 256, block_k // 1024) * 24 * 1024 * 1024,
         ),
         interpret=jax.default_backend() == "cpu",
-    )(tile_any, qt, kt, vt, lines_t)
+    )(tile_any, qt, kt, vt, last_in[0])
     if token_major:
         return out
     return out.reshape(b, heads, lq, d).transpose(0, 2, 1, 3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _epipolar_flash(q, k, v, lines, tile_any, static):
-    return _epipolar_flash_fwd_impl(q, k, v, lines, tile_any, **dict(static))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _epipolar_flash(q, k, v, lines, tile_any, penalties, static):
+    return _epipolar_flash_fwd_impl(q, k, v, lines, tile_any, penalties, **dict(static))
 
 
-def _epi_fwd_rule(q, k, v, lines, tile_any, static):
-    return _epipolar_flash(q, k, v, lines, tile_any, static), (q, k, v, lines, tile_any)
+def _epi_fwd_rule(q, k, v, lines, tile_any, penalties, static):
+    # penalties are an inference-path option (samplers hoist them out of the
+    # denoise scan); training calls pass None so no 0.5 GB residual is kept
+    return (
+        _epipolar_flash(q, k, v, lines, tile_any, penalties, static),
+        (q, k, v, lines, tile_any, penalties),
+    )
 
 
 def _epi_bwd_rule(static, res, gout):
-    q, k, v, lines, tile_any = res
+    q, k, v, lines, tile_any, penalties = res
     cfg = dict(static)
     t, h, w, ds = cfg["t"], cfg["h"], cfg["w"], cfg["downsample"]
     num_registers, scale = cfg["num_registers"], cfg["scale"]
@@ -456,7 +573,8 @@ def _epi_bwd_rule(static, res, gout):
     import numpy as onp
 
     ct_tile = onp.zeros(tile_any.shape, jax.dtypes.float0)  # int primal
-    return dq, dk, dv, jnp.zeros_like(lines), ct_tile
+    ct_pen = None if penalties is None else jnp.zeros_like(penalties)
+    return dq, dk, dv, jnp.zeros_like(lines), ct_tile, ct_pen
 
 
 _epipolar_flash.defvjp(_epi_fwd_rule, _epi_bwd_rule)
@@ -465,12 +583,14 @@ _epipolar_flash.defvjp(_epi_fwd_rule, _epi_bwd_rule)
 def epipolar_flash_attention(
     q, k, v, lines, *, t, h, w, downsample, num_registers,
     scale: Optional[float] = None, block_q: int = BLOCK_Q, block_k: int = BLOCK_K,
-    tile_any: Optional[jax.Array] = None,
+    tile_any: Optional[jax.Array] = None, penalties: Optional[jax.Array] = None,
 ):
     """Differentiable entry point (see _epipolar_flash_fwd_impl for shapes).
 
     `tile_any` precomputed via `epipolar_tile_map` skips the in-graph hull
-    prepass (hoist it out of sampling scans — it depends only on geometry).
+    prepass; `penalties` precomputed via `materialize_penalties` replaces the
+    in-kernel line-distance math with streamed bf16 penalty tiles (hoist both
+    out of sampling scans — they depend only on geometry).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -484,7 +604,11 @@ def epipolar_flash_attention(
             ).items()
         )
     )
-    return _epipolar_flash(q, k, v, jax.lax.stop_gradient(lines), tile_any, static)
+    if penalties is not None:
+        penalties = jax.lax.stop_gradient(penalties)
+    return _epipolar_flash(
+        q, k, v, jax.lax.stop_gradient(lines), tile_any, penalties, static
+    )
 
 
 def materialize_mask(lines: jax.Array, t: int, h: int, w: int, downsample: int) -> jax.Array:

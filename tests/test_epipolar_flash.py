@@ -127,6 +127,100 @@ def test_epipolar_module_F_path_matches_mask_path():
     np.testing.assert_allclose(np.asarray(out_F), np.asarray(out_mask), atol=2e-5)
 
 
+def test_precomputed_penalties_match_in_kernel():
+    """penalties= path (streamed bf16 mask tiles) == in-kernel line-distance
+    path, bit-for-bit: same mask band, same register handling, same softmax."""
+    from camc2v_tpu.ops.epipolar_flash import materialize_penalties
+
+    F = _realistic_F()
+    lines = epipolar_lines(F, H, W, DS)
+    q, k, v, *_ = _qkv()
+    out_inkernel = epipolar_flash_attention(
+        q, k, v, lines, t=T, h=H, w=W, downsample=DS, num_registers=R,
+        block_q=BQ, block_k=BK,
+    )
+    # f32 penalties on CPU keep the comparison exact; bf16 holds 0/-1e30
+    # exactly so the dtype only affects the (zero/NEG_INF) storage format
+    pen = materialize_penalties(lines, T, H, W, DS, R, BK, dtype=jnp.float32)
+    assert pen.shape == (B, LQ, LQ + BK)
+    out_pre = epipolar_flash_attention(
+        q, k, v, lines, t=T, h=H, w=W, downsample=DS, num_registers=R,
+        block_q=BQ, block_k=BK, penalties=pen,
+    )
+    np.testing.assert_allclose(np.asarray(out_pre), np.asarray(out_inkernel), atol=2e-6)
+    out_bf16 = epipolar_flash_attention(
+        q, k, v, lines, t=T, h=H, w=W, downsample=DS, num_registers=R,
+        block_q=BQ, block_k=BK, penalties=pen.astype(jnp.bfloat16),
+    )
+    np.testing.assert_allclose(np.asarray(out_bf16), np.asarray(out_inkernel), atol=2e-6)
+
+
+def test_precomputed_penalties_multi_frame_tiles():
+    """penalties path through the whole-frames-per-tile branch (ds16 layout)."""
+    from camc2v_tpu.ops.epipolar_flash import materialize_penalties
+
+    F = _realistic_F()
+    lines = epipolar_lines(F, H, W, DS)
+    q, k0, v0, *_ = _qkv()
+    bk = 4 * HW
+    pad = bk - BK
+    k = jnp.concatenate([k0, jnp.zeros((B, pad, *k0.shape[2:]))], axis=1)
+    v = jnp.concatenate([v0, jnp.zeros((B, pad, *v0.shape[2:]))], axis=1)
+    pen = materialize_penalties(lines, T, H, W, DS, R, bk, dtype=jnp.float32)
+    out_pre = epipolar_flash_attention(
+        q, k, v, lines, t=T, h=H, w=W, downsample=DS, num_registers=R,
+        block_q=BQ, block_k=bk, penalties=pen,
+    )
+    out_inkernel = epipolar_flash_attention(
+        q, k, v, lines, t=T, h=H, w=W, downsample=DS, num_registers=R,
+        block_q=BQ, block_k=bk,
+    )
+    np.testing.assert_allclose(np.asarray(out_pre), np.asarray(out_inkernel), atol=2e-6)
+
+
+def test_add_precomputed_penalties_prep():
+    """Sampler prep augmentation: env gate, size cap, and module parity.
+
+    Uses a 16x16 feature grid (hw = 256) so the REAL tile sizes clear the
+    kernel_ok minimum and the Pallas path (interpret mode on CPU) actually
+    consumes the penalties.
+    """
+    import os
+
+    from camc2v_tpu.nn.epipolar import add_precomputed_penalties, prepare_plain_epipolar
+
+    H2 = W2 = 16
+    cfg = EpipolarConfig(
+        origin_h=H2 * DS, origin_w=W2 * DS, attention_resolution=(1,), num_register_tokens=R
+    )
+    F = _realistic_F()
+    prep = prepare_plain_epipolar(F, cfg)
+    assert "tile_any" in prep[DS]
+    try:
+        os.environ["CAMC2V_EPI_PRECOMP"] = "1"
+        aug = add_precomputed_penalties(prep, cfg, T)
+        assert "penalties" in aug[DS]
+        assert aug[DS]["penalties"].dtype == jnp.bfloat16
+        # size cap: a 1-byte budget keeps the in-kernel path
+        capped = add_precomputed_penalties(prep, cfg, T, max_level_bytes=1)
+        assert "penalties" not in capped[DS]
+        os.environ["CAMC2V_EPI_PRECOMP"] = "0"
+        off = add_precomputed_penalties(prep, cfg, T)
+        assert "penalties" not in off[DS]
+
+        # full module: augmented prep == in-kernel prep
+        os.environ["CAMC2V_EPI_PRECOMP"] = "1"
+        rng = np.random.default_rng(7)
+        feats = jnp.asarray(rng.normal(size=(B, T, H2, W2, 128)), jnp.float32)
+        module = Epipolar(config=cfg, query_dim=128, heads=2)
+        params = module.init(jax.random.key(0), feats, F=F, prep=prep)
+        out_plain = module.apply(params, feats, F=F, prep=prep)
+        out_aug = module.apply(params, feats, F=F, prep=aug)
+        np.testing.assert_allclose(np.asarray(out_aug), np.asarray(out_plain), atol=2e-6)
+    finally:
+        os.environ.pop("CAMC2V_EPI_PRECOMP", None)
+
+
 def test_gradients_flow_through_v2():
     F = _realistic_F()
     lines = epipolar_lines(F, H, W, DS)
