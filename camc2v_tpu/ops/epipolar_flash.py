@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -166,7 +167,7 @@ def _v2_kernel(
     sub_any_ref, q_ref, k_ref, v_ref, lines_ref, o_ref,
     m_scratch, l_scratch, acc_scratch,
     *, nk, g, block_k, w, hw, downsample, thresh, num_registers, sub,
-    token_major,
+    token_major, kv_resident=False,
 ):
     """Online-softmax attention over one (q-tile, k-tile) pair with the mask
     computed in-kernel and SUBTILE-granular skipping.
@@ -239,6 +240,12 @@ def _v2_kernel(
         )
         m_scratch[:] = m_new
 
+    # kv_resident: k_ref/v_ref hold the WHOLE key axis (their block index map
+    # is constant, so Mosaic DMAs them once per bg instead of re-streaming
+    # every (qi, ki) step — ~2.8 GB -> 44 MB per ds8 site); tiles are sliced
+    # out at a ki-dependent (256-aligned) offset.
+    kbase = ki * block_k if kv_resident else 0
+
     if block_k <= hw or hw > sub:
         # sub-ranges finer than a frame: skip each independently (26% ds8 win —
         # softmax-state updates are cheap relative to the skipped dot+mask+exp
@@ -248,8 +255,8 @@ def _v2_kernel(
         for j in range(nsub):
             @pl.when(sub_any_ref[bg // g, qi, ki * nsub + j] != 0)
             def _(j=j):
-                kb = k_ref[0, :, j * sub:(j + 1) * sub, :]
-                vb = v_ref[0, :, j * sub:(j + 1) * sub, :]
+                kb = k_ref[0, :, pl.ds(kbase + j * sub, sub), :]
+                vb = v_ref[0, :, pl.ds(kbase + j * sub, sub), :]
                 s = jax.lax.dot_general(
                     qb, kb, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
                 ) + sub_pen(j)[None]
@@ -266,8 +273,8 @@ def _v2_kernel(
 
         @pl.when(any_sub != 0)
         def _():
-            kb = k_ref[0]
-            vb = v_ref[0]
+            kb = k_ref[0, :, pl.ds(kbase, block_k), :] if kv_resident else k_ref[0]
+            vb = v_ref[0, :, pl.ds(kbase, block_k), :] if kv_resident else v_ref[0]
             s = jax.lax.dot_general(
                 qb, kb, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
             )
@@ -426,17 +433,33 @@ def _epipolar_flash_fwd_impl(
     sub = min(SUBTILE, block_k, hw)
     thresh = downsample * math.sqrt(2.0) / 2.0
 
-    # the precomputed-penalty variant streams a (BQ, BK) bf16 tile per grid
-    # step — account it like a mask tile when sizing the head group (has_mask
-    # models an i32 tile, a safe overestimate for bf16)
-    hb = _head_group(heads, d, block_q, block_k, has_mask=penalties is not None)
+    # kv-resident mode: hold the WHOLE key axis in VMEM with a constant block
+    # index, so Mosaic DMAs k/v once per (batch, head-group) instead of
+    # re-streaming them for every q-tile (~2.8 GB -> 44 MB per flagship ds8
+    # site — the measured 6.4 ms fixed cost of the BQ sweep, PERF.md). v5e
+    # VMEM is 128 MB; cap resident k+v (double-buffered by Mosaic) at 48 MB.
+    kv_resident = (
+        penalties is None
+        and os.environ.get("CAMC2V_EPI_KV_RESIDENT", "0") == "1"
+        and 2 * 2 * heads * lk * d * 2 <= 48 * 1024 * 1024
+    )
+    if kv_resident:
+        hb = heads
+    else:
+        # the precomputed-penalty variant streams a (BQ, BK) bf16 tile per
+        # grid step — account it like a mask tile when sizing the head group
+        # (has_mask models an i32 tile, a safe overestimate for bf16)
+        hb = _head_group(heads, d, block_q, block_k, has_mask=penalties is not None)
     g = heads // hb
     qt = (q * jnp.asarray(scale, q.dtype)).transpose(0, 2, 1, 3).reshape(b * g, hb, lq, d)
     kt = k.transpose(0, 2, 1, 3).reshape(b * g, hb, lk, d)
     vt = v.transpose(0, 2, 1, 3).reshape(b * g, hb, lk, d)
 
     q_spec = pl.BlockSpec((1, hb, block_q, d), lambda bg, qi, ki, *_: (bg, 0, qi, 0))
-    k_spec = pl.BlockSpec((1, hb, block_k, d), lambda bg, qi, ki, *_: (bg, 0, ki, 0))
+    if kv_resident:
+        k_spec = pl.BlockSpec((1, hb, lk, d), lambda bg, qi, ki, *_: (bg, 0, 0, 0))
+    else:
+        k_spec = pl.BlockSpec((1, hb, block_k, d), lambda bg, qi, ki, *_: (bg, 0, ki, 0))
     # Single head group: write (B, Lq, H, D) token-major straight from the
     # kernel. With g > 1 the head-block dim hb < heads violates Mosaic's
     # block constraints, so those levels keep the heads-major output + an XLA
@@ -485,6 +508,7 @@ def _epipolar_flash_fwd_impl(
         kernel = functools.partial(
             _v2_kernel, nk=nk, g=g, block_k=block_k, w=w, hw=hw, downsample=downsample,
             thresh=thresh, num_registers=num_registers, sub=sub, token_major=token_major,
+            kv_resident=kv_resident,
         )
         last_in = (lines_t, lines_spec)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -504,8 +528,12 @@ def _epipolar_flash_fwd_impl(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             # BQ=512 needs 16.25 MB scoped vmem (256 KB over the 16 MB Mosaic
             # default); v5e physical VMEM is far larger — scale the limit with
-            # the tile sizes so bigger tiles (fewer grid steps) can compile
-            vmem_limit_bytes=max(1, block_q // 256, block_k // 1024) * 24 * 1024 * 1024,
+            # the tile sizes so bigger tiles (fewer grid steps) can compile.
+            # kv-resident mode holds whole (double-buffered) k/v in VMEM.
+            vmem_limit_bytes=(
+                100 * 1024 * 1024 if kv_resident
+                else max(1, block_q // 256, block_k // 1024) * 24 * 1024 * 1024
+            ),
         ),
         interpret=jax.default_backend() == "cpu",
     )(tile_any, qt, kt, vt, last_in[0])

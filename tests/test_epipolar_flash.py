@@ -221,6 +221,47 @@ def test_add_precomputed_penalties_prep():
         os.environ.pop("CAMC2V_EPI_PRECOMP", None)
 
 
+def test_kv_resident_matches_streaming():
+    """CAMC2V_EPI_KV_RESIDENT=1 (whole-k/v-in-VMEM, constant block index)
+    must be numerically identical to the streaming kernel, in both the
+    per-frame-tile and whole-frames-per-tile branches."""
+    import os
+
+    F = _realistic_F()
+    lines = epipolar_lines(F, H, W, DS)
+    q, k, v, *_ = _qkv()
+    base = epipolar_flash_attention(
+        q, k, v, lines, t=T, h=H, w=W, downsample=DS, num_registers=R,
+        block_q=BQ, block_k=BK,
+    )
+    try:
+        os.environ["CAMC2V_EPI_KV_RESIDENT"] = "1"
+        res = epipolar_flash_attention(
+            q, k, v, lines, t=T, h=H, w=W, downsample=DS, num_registers=R,
+            block_q=BQ, block_k=BK,
+        )
+        np.testing.assert_allclose(np.asarray(res), np.asarray(base), atol=2e-6)
+
+        # whole-frames-per-tile branch
+        q2, k0, v0, *_ = _qkv(seed=3)
+        bk = 4 * HW
+        pad = bk - BK
+        k2 = jnp.concatenate([k0, jnp.zeros((B, pad, *k0.shape[2:]))], axis=1)
+        v2 = jnp.concatenate([v0, jnp.zeros((B, pad, *v0.shape[2:]))], axis=1)
+        res2 = epipolar_flash_attention(
+            q2, k2, v2, lines, t=T, h=H, w=W, downsample=DS, num_registers=R,
+            block_q=BQ, block_k=bk,
+        )
+        os.environ.pop("CAMC2V_EPI_KV_RESIDENT")
+        base2 = epipolar_flash_attention(
+            q2, k2, v2, lines, t=T, h=H, w=W, downsample=DS, num_registers=R,
+            block_q=BQ, block_k=bk,
+        )
+        np.testing.assert_allclose(np.asarray(res2), np.asarray(base2), atol=2e-6)
+    finally:
+        os.environ.pop("CAMC2V_EPI_KV_RESIDENT", None)
+
+
 def test_gradients_flow_through_v2():
     F = _realistic_F()
     lines = epipolar_lines(F, H, W, DS)

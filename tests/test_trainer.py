@@ -96,6 +96,10 @@ def test_data_parallel_mesh_8_devices(model_and_params):
     assert jax.device_count() == 8
     mesh = M.make_mesh()
     cfg = TR.TrainConfig(trainable_patterns=("^image_proj/",))
+    # the sharded step DONATES its state, and device_put views can share
+    # buffers with the module-scoped fixture params — copy first so later
+    # tests still see live fixture arrays (CLAUDE.md donation note)
+    params = jax.tree_util.tree_map(jnp.array, params)
     state = TR.init_train_state(cfg, params)
     state = TR.shard_train_state(mesh, state)
     batch = _batch(b=8)
