@@ -31,6 +31,8 @@ def parse_args():
     ap.add_argument("--ddim-steps", type=int, default=25)
     ap.add_argument("--timestep-spacing", default="uniform_trailing")
     ap.add_argument("--ddim-eta", type=float, default=1.0)
+    ap.add_argument("--sampler", default="ddim", choices=["ddim", "dpmpp_2m"],
+                    help="dpmpp_2m: deterministic 2nd-order solver, ~2x fewer steps than ddim")
     ap.add_argument("--sampling-strategy", default=None, help="context strategy override (e.g. random_back)")
     ap.add_argument("--num-videos", type=int, default=None)
     ap.add_argument("--continue", dest="resume", action="store_true")
@@ -118,6 +120,7 @@ def main():
     sample_kwargs = dict(
         ddim_steps=args.ddim_steps,
         ddim_eta=args.ddim_eta,
+        sampler=args.sampler,
         guidance_scale=args.cfg_scale,
         guidance_rescale=args.guidance_rescale,
         timestep_spacing=args.timestep_spacing,

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from camc2v_tpu.core import distributions as D
 from camc2v_tpu.core.schedules import DDIMSchedule, DiffusionSchedule, extract, q_sample
-from camc2v_tpu.models.sampler import SamplerOptions, ddim_sample
+from camc2v_tpu.models.sampler import SamplerOptions, ddim_sample, dpmpp_2m_sample
 from camc2v_tpu.nn.clip import (
     CLIPTextConfig,
     CLIPTextTower,
@@ -406,6 +406,7 @@ class DynamiCrafter:
         *,
         ddim_steps: int = 25,
         ddim_eta: float = 1.0,
+        sampler: str = "ddim",
         guidance_scale: float = 7.5,
         guidance_rescale: float = 0.0,
         timestep_spacing: str = "uniform",
@@ -476,7 +477,13 @@ class DynamiCrafter:
             paste_cond_frame=paste_cond_frame,
             num_overlap=num_overlap,
         )
-        samples = ddim_sample(
+        if sampler == "ddim":
+            sample_fn = ddim_sample
+        elif sampler in ("dpmpp_2m", "dpmpp"):
+            sample_fn = dpmpp_2m_sample  # deterministic; ddim_eta is ignored
+        else:
+            raise ValueError(f"unknown sampler {sampler!r} (ddim | dpmpp_2m)")
+        samples = sample_fn(
             skey,
             ddim,
             x_T,

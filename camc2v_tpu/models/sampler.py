@@ -146,6 +146,101 @@ def ddim_sample(
     return x
 
 
+def dpmpp_2m_sample(
+    rng: jax.Array,
+    ddim: DDIMSchedule,
+    x_T: jax.Array,
+    model_out_fn: ModelOutFn,
+    *,
+    options: SamplerOptions = SamplerOptions(),
+    schedule: Optional[DiffusionSchedule] = None,
+    origin_z0: Optional[jax.Array] = None,
+    cond_frame_index: Optional[jax.Array] = None,
+    lower_order_final: bool = True,
+) -> jax.Array:
+    """DPM-Solver++(2M) over the same DDIM timestep table — one `lax.scan`.
+
+    Second-order multistep solver in the data-prediction (x0) formulation
+    (Lu et al. 2022, arXiv:2211.01095): per step, with
+    lambda = log(alpha/sigma) (alpha = sqrt(abar), sigma = sqrt(1-abar)),
+    h_i = lambda_next - lambda_cur and r_i = h_{i-1}/h_i,
+
+        D_i    = (1 + 1/(2 r_i)) * x0_i - 1/(2 r_i) * x0_{i-1}
+        x_next = (sigma_next/sigma_cur) * x - alpha_next * expm1(-h_i) * D_i
+
+    The first step (no x0 history) and — when the table is short — the final
+    step fall back to first order (D_i = x0_i), the standard stabilisation.
+    Deterministic (no eta-noise); ~2x fewer steps than DDIM for comparable
+    trajectories. Beyond-reference feature: the reference ships DDIM only
+    (CamContextI2V/lvdm/models/samplers/ddim.py); this reuses its timestep
+    tables and the same guided `model_out_fn` closure, so CFG, camera-CFG and
+    latent surgery behave identically.
+    """
+    opt = options
+    S = ddim.num_steps
+    b = x_T.shape[0]
+    tdim = x_T.shape[1]
+
+    if opt.num_overlap > 0 or opt.paste_cond_frame:
+        assert origin_z0 is not None, "latent surgery needs origin_z0"
+    if opt.num_overlap > 0 or opt.parameterization == "v":
+        assert schedule is not None, "this sampler configuration needs the full DiffusionSchedule"
+
+    overlap_sel = (jnp.arange(tdim) < opt.num_overlap)[None, :, None, None, None]
+    cond_sel = None
+    if opt.paste_cond_frame:
+        cond_sel = (jnp.arange(tdim)[None, :] == cond_frame_index[:, None])[:, :, None, None, None]
+
+    # per-step coefficient tables, indexed by the DDIM table position i
+    # (computed once outside the scan; every in-body use is a static gather)
+    abar_c = jnp.clip(ddim.alphas, 1e-8, 1.0 - 1e-8)
+    abar_p = jnp.clip(ddim.alphas_prev, 1e-8, 1.0 - 1e-8)
+    lam_c = 0.5 * (jnp.log(abar_c) - jnp.log1p(-abar_c))
+    lam_p = 0.5 * (jnp.log(abar_p) - jnp.log1p(-abar_p))
+    h = lam_p - lam_c  # > 0: every update moves toward data
+    # scan visits i = S-1, S-2, ..., 0; the previous step of i is i+1
+    h_prev = jnp.concatenate([h[1:], jnp.ones_like(h[-1:])])
+    g = jnp.where(jnp.arange(S) < S - 1, h / (2.0 * h_prev), 0.0)  # 1/(2 r_i)
+    if lower_order_final and S < 15:
+        g = g.at[0].set(0.0)
+    A = jnp.sqrt((1.0 - abar_p) / (1.0 - abar_c))  # sigma_next / sigma_cur
+    B = -jnp.sqrt(abar_p) * jnp.expm1(-h)  # alpha_next * (1 - e^{-h})
+
+    def body(carry, idx):
+        x, x0_prev, key = carry
+        key, okey = jax.random.split(key)
+        i = S - 1 - idx
+        step = ddim.timesteps[i]
+        t = jnp.full((b,), step, dtype=jnp.int32)
+
+        if opt.num_overlap > 0:
+            noised = q_sample(schedule, origin_z0, t, jax.random.normal(okey, x.shape, x.dtype))
+            x = jnp.where(overlap_sel, noised, x)
+
+        model_output = model_out_fn(x, t)
+        if opt.parameterization == "v":
+            pred_x0 = predict_start_from_z_and_v(schedule, x, t, model_output)
+        else:
+            pred_x0 = (x - ddim.sqrt_one_minus_alphas[i] * model_output) / jnp.sqrt(ddim.alphas[i])
+
+        if opt.paste_cond_frame:
+            pred_x0 = jnp.where(cond_sel, origin_z0, pred_x0)
+        if opt.num_overlap > 0:
+            pred_x0 = jnp.where(overlap_sel, origin_z0, pred_x0)
+
+        d = (1.0 + g[i]) * pred_x0 - g[i] * x0_prev
+        x_next = A[i] * x + B[i] * d
+        return (x_next, pred_x0, key), None
+
+    (x, _, _), _ = jax.lax.scan(body, (x_T, jnp.zeros_like(x_T), rng), jnp.arange(S))
+
+    if opt.num_overlap > 0:
+        x = jnp.where(overlap_sel, origin_z0, x)
+    if opt.paste_cond_frame:
+        x = jnp.where(cond_sel, origin_z0, x)
+    return x
+
+
 def ddim_decode(
     rng: jax.Array,
     ddim: DDIMSchedule,

@@ -120,3 +120,19 @@ def test_sample_jits(model_and_params):
     assert out.shape == (1, T, 8, 8, 4)
     out2 = run(params, batch, jax.random.key(4))
     assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_dpmpp_sample_end_to_end(model_and_params):
+    model, params = model_and_params
+    out = model.sample(
+        params, _batch(), jax.random.key(2),
+        ddim_steps=4, guidance_scale=7.5, sampler="dpmpp_2m", decode=False,
+    )
+    assert out.shape == (1, T, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # deterministic solver: the same noise draw (same key) reproduces exactly
+    out2 = model.sample(
+        params, _batch(), jax.random.key(2),
+        ddim_steps=4, guidance_scale=7.5, sampler="dpmpp_2m", decode=False,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
