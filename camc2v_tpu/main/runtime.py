@@ -140,6 +140,7 @@ class Image2Video:
         num_chunks: int = 1,
         frame_stride: int = 8,
         ddim_steps: int = 25,
+        sampler: str = "ddim",
         guidance_scale: float = 7.5,
         camera_cfg: float = 1.0,
         trace_scale_factor: float = 1.0,
@@ -199,6 +200,7 @@ class Image2Video:
                 batch,
                 jax.random.key(self.seed + chunk),
                 ddim_steps=ddim_steps,
+                sampler=sampler,
                 guidance_scale=guidance_scale,
                 camera_cfg=camera_cfg,
                 timestep_spacing="uniform_trailing",
