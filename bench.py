@@ -111,7 +111,7 @@ def bench_unet(n_iters: int, inner_steps: int = 10):
     return step_s, flops
 
 
-def bench_e2e(n_iters: int, ddim_steps: int, batch: int = 1):
+def bench_e2e(n_iters: int, ddim_steps: int, batch: int = 1, sampler: str = "ddim"):
     """Full jitted model.sample at the production recipe."""
     import jax
     import jax.numpy as jnp
@@ -147,6 +147,7 @@ def bench_e2e(n_iters: int, ddim_steps: int, batch: int = 1):
             p, batch, key,
             ddim_steps=ddim_steps, ddim_eta=1.0, guidance_scale=7.5,
             guidance_rescale=0.7, timestep_spacing="uniform_trailing",
+            sampler=sampler,
         )
     )
     video_s = _time(fn, params, batch, jax.random.key(1), iters=n_iters)
@@ -209,6 +210,8 @@ def main():
     ap.add_argument("--steps", type=int, default=DDIM_STEPS)
     ap.add_argument("--batch", type=int, default=1,
                     help="e2e generation batch; videos/min scales by batch")
+    ap.add_argument("--sampler", default="ddim", choices=["ddim", "dpmpp_2m"],
+                    help="non-headline extra: dpmpp_2m needs ~half the steps of ddim")
     args = ap.parse_args()
 
     if args.tiny:
@@ -238,14 +241,14 @@ def main():
     # one compile only (the remote-compile tunnel costs ~20-30 min per
     # flagship program; the UNet-only figure is available via --unet-only)
     try:
-        batch_s = bench_e2e(args.iters, args.steps, args.batch)
+        batch_s = bench_e2e(args.iters, args.steps, args.batch, args.sampler)
     except Exception as e:  # noqa: BLE001
         _retry_transient(e)
         raise  # unreachable (retry re-execs or re-raises); keeps flow explicit
     video_s = batch_s / args.batch
     videos_per_min = 60.0 / video_s
     out = {
-        "metric": "e2e_videos_per_min_per_chip_25step_ddim",
+        "metric": f"e2e_videos_per_min_per_chip_{args.steps}step_{args.sampler}",
         "value": round(videos_per_min, 3),
         "unit": "videos/min/chip",
         "vs_baseline": round(videos_per_min / REFERENCE_VIDEOS_PER_MIN_ESTIMATE, 3),
