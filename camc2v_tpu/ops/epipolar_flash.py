@@ -324,7 +324,7 @@ def materialize_penalties(
 def _v2p_kernel(
     sub_any_ref, q_ref, k_ref, v_ref, pen_ref, o_ref,
     m_scratch, l_scratch, acc_scratch,
-    *, nk, g, block_k, hw, sub, token_major,
+    *, nk, g, block_k, hw, sub, token_major, kv_resident=False,
 ):
     """Precomputed-penalty variant of `_v2_kernel`: the mask arrives as bf16
     additive penalty tiles streamed from HBM instead of being recomputed from
@@ -357,12 +357,17 @@ def _v2p_kernel(
         )
         m_scratch[:] = m_new
 
+    # kv_resident composition: k_ref/v_ref hold the whole key axis (constant
+    # block index map); penalty tiles still stream per grid step (one bf16
+    # (BQ, BK) tile is ~0.5 MB — resident penalties would blow VMEM)
+    kbase = ki * block_k if kv_resident else 0
+
     if block_k <= hw or hw > sub:
         for j in range(nsub):
             @pl.when(sub_any_ref[bg // g, qi, ki * nsub + j] != 0)
             def _(j=j):
-                kb = k_ref[0, :, j * sub:(j + 1) * sub, :]
-                vb = v_ref[0, :, j * sub:(j + 1) * sub, :]
+                kb = k_ref[0, :, pl.ds(kbase + j * sub, sub), :]
+                vb = v_ref[0, :, pl.ds(kbase + j * sub, sub), :]
                 pen = pen_ref[0, :, j * sub:(j + 1) * sub].astype(jnp.float32)
                 s = jax.lax.dot_general(
                     qb, kb, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
@@ -375,10 +380,12 @@ def _v2p_kernel(
 
         @pl.when(any_sub != 0)
         def _():
+            kb = k_ref[0, :, pl.ds(kbase, block_k), :] if kv_resident else k_ref[0]
+            vb = v_ref[0, :, pl.ds(kbase, block_k), :] if kv_resident else v_ref[0]
             s = jax.lax.dot_general(
-                qb, k_ref[0], (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+                qb, kb, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
             ) + pen_ref[0].astype(jnp.float32)[None]
-            update(s, v_ref[0])
+            update(s, vb)
 
     @pl.when(ki == nk - 1)
     def _():
@@ -439,8 +446,7 @@ def _epipolar_flash_fwd_impl(
     # site — the measured 6.4 ms fixed cost of the BQ sweep, PERF.md). v5e
     # VMEM is 128 MB; cap resident k+v (double-buffered by Mosaic) at 48 MB.
     kv_resident = (
-        penalties is None
-        and os.environ.get("CAMC2V_EPI_KV_RESIDENT", "0") == "1"
+        os.environ.get("CAMC2V_EPI_KV_RESIDENT", "0") == "1"
         and 2 * 2 * heads * lk * d * 2 <= 48 * 1024 * 1024
     )
     if kv_resident:
@@ -501,7 +507,7 @@ def _epipolar_flash_fwd_impl(
         )
         kernel = functools.partial(
             _v2p_kernel, nk=nk, g=g, block_k=block_k, hw=hw, sub=sub,
-            token_major=token_major,
+            token_major=token_major, kv_resident=kv_resident,
         )
         last_in = (penalties, pen_spec)
     else:

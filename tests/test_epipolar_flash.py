@@ -121,9 +121,13 @@ def test_epipolar_module_F_path_matches_mask_path():
     module = Epipolar(config=cfg, query_dim=128, heads=2)
 
     masks = G.build_epipolar_masks(F, T, (H, W), cfg)
-    params = module.init(jax.random.key(0), feats, masks=masks)
+    from util import perturb_zero_kernels
+
+    # the zero-init output projection would make this comparison vacuous
+    params = perturb_zero_kernels(module.init(jax.random.key(0), feats, masks=masks), jax.random.key(7))
     out_mask = module.apply(params, feats, masks=masks)
     out_F = module.apply(params, feats, F=F)
+    assert float(np.asarray(out_mask).std()) > 1e-4
     np.testing.assert_allclose(np.asarray(out_F), np.asarray(out_mask), atol=2e-5)
 
 
@@ -213,9 +217,12 @@ def test_add_precomputed_penalties_prep():
         rng = np.random.default_rng(7)
         feats = jnp.asarray(rng.normal(size=(B, T, H2, W2, 128)), jnp.float32)
         module = Epipolar(config=cfg, query_dim=128, heads=2)
-        params = module.init(jax.random.key(0), feats, F=F, prep=prep)
+        from util import perturb_zero_kernels
+
+        params = perturb_zero_kernels(module.init(jax.random.key(0), feats, F=F, prep=prep), jax.random.key(7))
         out_plain = module.apply(params, feats, F=F, prep=prep)
         out_aug = module.apply(params, feats, F=F, prep=aug)
+        assert float(np.asarray(out_plain).std()) > 1e-4  # non-vacuous
         np.testing.assert_allclose(np.asarray(out_aug), np.asarray(out_plain), atol=2e-6)
     finally:
         os.environ.pop("CAMC2V_EPI_PRECOMP", None)
@@ -504,3 +511,45 @@ def test_chunked_4d_groupnorm_view():
     assert group_norm_temporal_supported(xv, 32)
     out = group_norm_fused_temporal(xv, scale, bias, num_groups=32, eps=1e-6).reshape(x.shape)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4)
+
+def test_kv_resident_composes_with_penalties():
+    """KV_RESIDENT=1 + penalties= (the composed sampler mode) must match the
+    plain in-kernel path, in both tile-layout branches."""
+    import os
+
+    from camc2v_tpu.ops.epipolar_flash import materialize_penalties
+
+    F = _realistic_F()
+    lines = epipolar_lines(F, H, W, DS)
+    q, k, v, *_ = _qkv()
+    base = epipolar_flash_attention(
+        q, k, v, lines, t=T, h=H, w=W, downsample=DS, num_registers=R,
+        block_q=BQ, block_k=BK,
+    )
+    pen = materialize_penalties(lines, T, H, W, DS, R, BK, dtype=jnp.float32)
+    try:
+        os.environ["CAMC2V_EPI_KV_RESIDENT"] = "1"
+        res = epipolar_flash_attention(
+            q, k, v, lines, t=T, h=H, w=W, downsample=DS, num_registers=R,
+            block_q=BQ, block_k=BK, penalties=pen,
+        )
+        np.testing.assert_allclose(np.asarray(res), np.asarray(base), atol=2e-6)
+
+        # whole-frames-per-tile branch
+        bk = 4 * HW
+        pad = bk - BK
+        k2 = jnp.concatenate([k, jnp.zeros((B, pad, *k.shape[2:]))], axis=1)
+        v2 = jnp.concatenate([v, jnp.zeros((B, pad, *v.shape[2:]))], axis=1)
+        pen2 = materialize_penalties(lines, T, H, W, DS, R, bk, dtype=jnp.float32)
+        res2 = epipolar_flash_attention(
+            q, k2, v2, lines, t=T, h=H, w=W, downsample=DS, num_registers=R,
+            block_q=BQ, block_k=bk, penalties=pen2,
+        )
+        os.environ.pop("CAMC2V_EPI_KV_RESIDENT")
+        base2 = epipolar_flash_attention(
+            q, k2, v2, lines, t=T, h=H, w=W, downsample=DS, num_registers=R,
+            block_q=BQ, block_k=bk,
+        )
+        np.testing.assert_allclose(np.asarray(res2), np.asarray(base2), atol=2e-6)
+    finally:
+        os.environ.pop("CAMC2V_EPI_KV_RESIDENT", None)
