@@ -29,6 +29,7 @@ uniform draw per sample.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, Optional
 
@@ -498,6 +499,50 @@ class DynamiCrafter:
             return out, cond
         return out
 
+    def _pad_uncond_for_fusion(self, cond: dict, uc: dict):
+        """Make a shorter DC-layout uncond context stackable with a longer
+        (CamContext semantic-branch) cond context, EXACTLY, via masks.
+
+        The uncond context (text + one frame-set of image tokens) is routed
+        per-frame by the UNet (nn/unet3d.py l_ctx == text+T*ipf branch); the
+        cond context is broadcast to every frame. To fuse both into one
+        batch-2B launch, pad the uncond tokens to cond's length and express
+        the per-frame routing as a (B, T, L) validity mask: frame i sees text
+        + its own ipf image tokens; padding is invalid everywhere. Masked
+        softmax over the valid set == per-frame-slice attention (exact).
+        Returns (cond, uc) with aligned shapes + masks, or None when the
+        uncond layout isn't the padable DC form.
+        """
+        ucfg = self.config.unet
+        lt = ucfg.text_context_len
+        ipf = ucfg.img_tokens_per_frame
+        t = self.config.video_length
+        cc, cu = cond["c_crossattn"], uc["c_crossattn"]
+        b, lc = cc.shape[:2]
+        lu = cu.shape[1]
+        if lu >= lc or lu != lt + t * ipf:
+            return None
+        uc = dict(uc)
+        uc["c_crossattn"] = jnp.concatenate(
+            [cu, jnp.zeros((b, lc - lu, cu.shape[-1]), cu.dtype)], axis=1
+        )
+        img_len = lc - lt
+        tok = jnp.arange(img_len)
+        frame = jnp.arange(t)
+        per_frame = (tok[None, :] >= frame[:, None] * ipf) & (
+            tok[None, :] < (frame[:, None] + 1) * ipf
+        )  # (T, img_len); padding columns are False everywhere
+        uc_mask = jnp.concatenate([jnp.ones((t, lt), bool), per_frame], axis=1)
+        uc["c_crossattn_mask"] = jnp.broadcast_to(uc_mask[None], (b, t, lc))
+        cond = dict(cond)
+        cmask = cond.get("c_crossattn_mask")
+        if cmask is None:
+            cmask3 = jnp.ones((b, t, lc), bool)
+        else:
+            cmask3 = jnp.broadcast_to(cmask.astype(bool)[:, None, :], (b, t, lc))
+        cond["c_crossattn_mask"] = cmask3
+        return cond, uc
+
     def build_guided_fn(
         self,
         params: dict,
@@ -526,11 +571,29 @@ class DynamiCrafter:
         if uc is None or guidance_scale == 1.0:
             return lambda x, t: self.apply_model(params, x, t, cond, fs)
 
+        if (
+            uc["c_crossattn"].shape != cond["c_crossattn"].shape
+            and os.environ.get("CAMC2V_FUSED_CFG", "0") == "1"
+        ):
+            padded = self._pad_uncond_for_fusion(cond, uc)
+            if padded is not None:
+                cond, uc = padded
+
         fuse = uc["c_crossattn"].shape == cond["c_crossattn"].shape
         if fuse:
             stacked = jax.tree_util.tree_map(
                 lambda a, c: jnp.concatenate([a, c], axis=0), cond, uc
             )
+            # uc shares cond's camera geometry (`build_uncond` copies it), so
+            # the precomputed epipolar penalties need not be duplicated into
+            # the fused batch: the kernel indexes a (b, Lq, Lk) array modulo b
+            # (ops/epipolar_flash.py pen_spec) — keeping ONE copy saves the
+            # ~1 GB ds8 concat + half its per-step read bandwidth
+            cam = cond.get("camera")
+            if isinstance(cam, dict) and cam.get("epi_prep"):
+                for ds, entry in cam["epi_prep"].items():
+                    if "penalties" in entry:
+                        stacked["camera"]["epi_prep"][ds]["penalties"] = entry["penalties"]
             fs2 = None if fs is None else jnp.concatenate([fs, fs])
 
             def eps_pair(x, t):

@@ -343,7 +343,14 @@ class UNetModel(nn.Module):
         else:
             context = jnp.repeat(context, t, axis=0)
             if context_mask is not None:
-                context_mask = jnp.repeat(context_mask.astype(bool), t, axis=0)
+                if context_mask.ndim == 3:
+                    # (B, T, L) per-frame token validity — the fused-CFG path
+                    # expresses the uncond's per-frame token routing as a mask
+                    # (dynamicrafter.py::_pad_uncond_for_fusion); sample-major
+                    # frame-minor flatten matches the jnp.repeat above
+                    context_mask = context_mask.astype(bool).reshape(b * t, l_ctx)
+                else:
+                    context_mask = jnp.repeat(context_mask.astype(bool), t, axis=0)
         context = context.astype(self.dtype)
 
         emb = jnp.repeat(emb, t, axis=0)  # (B*T, 4ch)

@@ -501,9 +501,15 @@ def _epipolar_flash_fwd_impl(
         pltpu.VMEM((hb, block_q, d), jnp.float32),
     ]
     if penalties is not None:
-        assert penalties.shape == (b, lq, lk), (penalties.shape, (b, lq, lk))
+        # batch-shared penalties: a (pb, Lq, Lk) array with pb | b is indexed
+        # modulo pb, so the fused-CFG stack (cond, uc in one batch-2B launch,
+        # identical camera geometry) streams ONE copy instead of a duplicated
+        # ~1 GB concat
+        pb = penalties.shape[0]
+        assert b % pb == 0 and penalties.shape[1:] == (lq, lk), (
+            penalties.shape, (b, lq, lk))
         pen_spec = pl.BlockSpec(
-            (1, block_q, block_k), lambda bg, qi, ki, *_: (bg // g, qi, ki)
+            (1, block_q, block_k), lambda bg, qi, ki, *_, _pb=pb: ((bg // g) % _pb, qi, ki)
         )
         kernel = functools.partial(
             _v2p_kernel, nk=nk, g=g, block_k=block_k, hw=hw, sub=sub,

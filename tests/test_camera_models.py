@@ -198,3 +198,65 @@ def test_camcontext_no_context_fallback(camcontext):
     z, cond = m.prepare_batch(p, batch)
     assert cond["c_concat"].shape == (1, T, 4, 4, 4)
     assert cond["c_crossattn"].shape[1] == 7 + 2 * T
+
+
+def test_fused_cfg_keeps_batch_shared_penalties(camcontext, monkeypatch):
+    """build_guided_fn must NOT duplicate precomputed epipolar penalties into
+    the fused cond+uncond batch: the kernel indexes them modulo their batch
+    (ops/epipolar_flash.py pen_spec), and uc shares cond's camera geometry."""
+    m, p = camcontext
+    monkeypatch.setenv("CAMC2V_FUSED_CFG", "1")  # pad the uncond so CFG fuses
+    batch = _batch(n_ctx=2)
+    z, cond = m.prepare_batch(p, batch)
+    assert "camera" in cond
+    # inject a sampler-style precomputed-penalty entry
+    cond["camera"]["epi_prep"] = {
+        8: {"penalties": jnp.zeros((1, 32, 64), jnp.bfloat16),
+            "tile_any": jnp.ones((1, 1, 1), jnp.int32),
+            "lines": jnp.zeros((1, 32, T, 3), jnp.float32)},
+    }
+    uc = m.build_uncond(p, cond, 1, (IMG, IMG))
+    seen = {}
+    orig = m.apply_model
+
+    def record(params, x, t, c, fs=None, **kw):
+        seen["cond"] = c
+        return jnp.zeros_like(x[..., :4])
+
+    monkeypatch.setattr(m, "apply_model", record)
+    fn = m.build_guided_fn(p, cond, uc, None, guidance_scale=7.5)
+    x = jnp.zeros((1, T, 4, 4, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    fn(x, t)
+    stacked = seen["cond"]
+    prep = stacked["camera"]["epi_prep"][8]
+    assert prep["penalties"].shape[0] == 1          # shared, not duplicated
+    assert prep["lines"].shape[0] == 2              # everything else fused
+    assert stacked["c_concat"].shape[0] == 2
+    monkeypatch.setattr(m, "apply_model", orig)
+
+
+def test_fused_cfg_padding_exact(camcontext, monkeypatch):
+    """CAMC2V_FUSED_CFG=1 (uncond padded to cond's context length, per-frame
+    routing as a (B,T,L) mask, one batch-2B launch) must equal the unfused
+    two-launch CFG exactly."""
+    import os
+
+    m, p = camcontext
+    batch = _batch(n_ctx=2)
+    z, cond = m.prepare_batch(p, batch)
+    uc = m.build_uncond(p, cond, 1, (IMG, IMG))
+    assert uc["c_crossattn"].shape != cond["c_crossattn"].shape  # unfusable today
+
+    x = jax.random.normal(jax.random.key(3), z.shape)
+    t = jnp.full((1,), 500, jnp.int32)
+
+    monkeypatch.delenv("CAMC2V_FUSED_CFG", raising=False)
+    out_unfused = m.build_guided_fn(p, dict(cond), dict(uc), None, guidance_scale=7.5)(x, t)
+
+    monkeypatch.setenv("CAMC2V_FUSED_CFG", "1")
+    padded = m._pad_uncond_for_fusion(dict(cond), dict(uc))
+    assert padded is not None  # the fused path actually engages
+    out_fused = m.build_guided_fn(p, dict(cond), dict(uc), None, guidance_scale=7.5)(x, t)
+
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_unfused), atol=3e-5)

@@ -553,3 +553,33 @@ def test_kv_resident_composes_with_penalties():
         np.testing.assert_allclose(np.asarray(res2), np.asarray(base2), atol=2e-6)
     finally:
         os.environ.pop("CAMC2V_EPI_KV_RESIDENT", None)
+
+def test_batch_shared_penalties_match_per_batch():
+    """A (1, Lq, Lk) penalty array shared across a fused-CFG-style batch of 2
+    (identical geometry) must equal the per-batch duplicated form."""
+    from camc2v_tpu.ops.epipolar_flash import materialize_penalties
+
+    F = _realistic_F()
+    lines1 = epipolar_lines(F, H, W, DS)      # (1, Lq, T, 3)
+    lines2 = jnp.concatenate([lines1, lines1], axis=0)
+    q1, k1, v1, *_ = _qkv()
+    q = jnp.concatenate([q1, q1 * 0.5], axis=0)  # distinct features, same geometry
+    k = jnp.concatenate([k1, k1 + 0.1], axis=0)
+    v = jnp.concatenate([v1, v1 - 0.2], axis=0)
+    pen1 = materialize_penalties(lines1, T, H, W, DS, R, BK, dtype=jnp.float32)
+    pen2 = jnp.concatenate([pen1, pen1], axis=0)
+    out_shared = epipolar_flash_attention(
+        q, k, v, lines2, t=T, h=H, w=W, downsample=DS, num_registers=R,
+        block_q=BQ, block_k=BK, penalties=pen1,
+    )
+    out_full = epipolar_flash_attention(
+        q, k, v, lines2, t=T, h=H, w=W, downsample=DS, num_registers=R,
+        block_q=BQ, block_k=BK, penalties=pen2,
+    )
+    np.testing.assert_allclose(np.asarray(out_shared), np.asarray(out_full), atol=2e-6)
+    # and both equal the in-kernel path
+    out_inkernel = epipolar_flash_attention(
+        q, k, v, lines2, t=T, h=H, w=W, downsample=DS, num_registers=R,
+        block_q=BQ, block_k=BK,
+    )
+    np.testing.assert_allclose(np.asarray(out_shared), np.asarray(out_inkernel), atol=2e-6)
