@@ -75,6 +75,10 @@ def make_ddim_timesteps(
     if method == "uniform":
         c = num_ddpm_timesteps // num_ddim_timesteps
         steps = np.asarray(list(range(0, num_ddpm_timesteps, c))) + 1
+        # the reference formula indexes out of bounds when T % S != 0
+        # (utils_diffusion.py:61-64 has the same bug: steps can reach T);
+        # clamp the overshoot instead of crashing — divisible S is unchanged
+        steps = np.minimum(steps, num_ddpm_timesteps - 1)
     elif method == "uniform_trailing":
         c = num_ddpm_timesteps / num_ddim_timesteps
         steps = np.flip(np.round(np.arange(num_ddpm_timesteps, 0, -c))).astype(np.int64) - 1
