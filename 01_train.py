@@ -44,8 +44,9 @@ def main():
     # multi-host SPMD (the torchrun/slurm analogue): any of the standard
     # coordinator env vars triggers jax.distributed; chips of all hosts join
     # one global `data` mesh (ICI within slice, DCN across hosts)
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    from camc2v_tpu.utils.meta import distributed_init_from_env
+
+    distributed_init_from_env()
 
     import numpy as np
 

@@ -75,8 +75,9 @@ def main():
     # 02_generate_videos.py:461-621 + main/trainer.py:192-194): each process
     # takes a rank-strided shard of the dataset and runs the single-device
     # generation path over it, writing disjoint per-video directories
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    from camc2v_tpu.utils.meta import distributed_init_from_env
+
+    distributed_init_from_env()
 
     from camc2v_tpu.config_yaml import apply_dotlist, build_model_from_config, load_yaml
     from camc2v_tpu.data.realestate10k import DataLoader, RealEstate10K

@@ -77,8 +77,12 @@ def make_ddim_timesteps(
         steps = np.asarray(list(range(0, num_ddpm_timesteps, c))) + 1
         # the reference formula indexes out of bounds when T % S != 0
         # (utils_diffusion.py:61-64 has the same bug: steps can reach T);
-        # clamp the overshoot instead of crashing — divisible S is unchanged
-        steps = np.minimum(steps, num_ddpm_timesteps - 1)
+        # clamp the overshoot instead of crashing — divisible S is unchanged.
+        # NOTE the reference (and this port) returns ceil(T/c) entries, which
+        # can exceed the requested S — callers treat len(steps) as truth.
+        if steps[-1] >= num_ddpm_timesteps:
+            steps = np.minimum(steps, num_ddpm_timesteps - 1)
+            steps = np.unique(steps)  # degenerate c=1 clamp would duplicate T-1
     elif method == "uniform_trailing":
         c = num_ddpm_timesteps / num_ddim_timesteps
         steps = np.flip(np.round(np.arange(num_ddpm_timesteps, 0, -c))).astype(np.int64) - 1

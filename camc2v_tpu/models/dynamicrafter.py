@@ -581,19 +581,36 @@ class DynamiCrafter:
 
         fuse = uc["c_crossattn"].shape == cond["c_crossattn"].shape
         if fuse:
-            stacked = jax.tree_util.tree_map(
-                lambda a, c: jnp.concatenate([a, c], axis=0), cond, uc
-            )
             # uc shares cond's camera geometry (`build_uncond` copies it), so
             # the precomputed epipolar penalties need not be duplicated into
             # the fused batch: the kernel indexes a (b, Lq, Lk) array modulo b
-            # (ops/epipolar_flash.py pen_spec) — keeping ONE copy saves the
-            # ~1 GB ds8 concat + half its per-step read bandwidth
+            # (ops/epipolar_flash.py pen_spec). Pop them out BEFORE the
+            # tree_map — the CLI sample path runs eagerly, where the concat
+            # would transiently materialise a ~1 GB ds8 array — and reattach
+            # the single copy after.
+            shared_pen = {}
             cam = cond.get("camera")
             if isinstance(cam, dict) and cam.get("epi_prep"):
-                for ds, entry in cam["epi_prep"].items():
-                    if "penalties" in entry:
-                        stacked["camera"]["epi_prep"][ds]["penalties"] = entry["penalties"]
+                strip = {
+                    ds: {k: v for k, v in entry.items() if k != "penalties"}
+                    for ds, entry in cam["epi_prep"].items()
+                }
+                shared_pen = {
+                    ds: entry["penalties"]
+                    for ds, entry in cam["epi_prep"].items()
+                    if "penalties" in entry
+                }
+                cond = dict(cond, camera=dict(cam, epi_prep=strip))
+                ucam = uc["camera"]
+                uc = dict(uc, camera=dict(ucam, epi_prep={
+                    ds: {k: v for k, v in entry.items() if k != "penalties"}
+                    for ds, entry in ucam["epi_prep"].items()
+                }))
+            stacked = jax.tree_util.tree_map(
+                lambda a, c: jnp.concatenate([a, c], axis=0), cond, uc
+            )
+            for ds, pen in shared_pen.items():
+                stacked["camera"]["epi_prep"][ds]["penalties"] = pen
             fs2 = None if fs is None else jnp.concatenate([fs, fs])
 
             def eps_pair(x, t):

@@ -67,8 +67,8 @@ def prepare_plain_epipolar(F, cfg: "EpipolarConfig") -> dict[int, dict]:
         lines = ef.epipolar_lines(F, h, w, ds)
         entry = {"lines": lines}
         hw = h * w
-        block_k = ef.BLOCK_K if (hw % ef.BLOCK_K == 0 or ef.BLOCK_K % hw == 0) else hw
-        if min(block_k, hw) >= 256 and (t * hw) % block_k == 0 and (t * hw) % ef.BLOCK_Q == 0:
+        block_k = ef.choose_block_k(hw)
+        if ef.kernel_tiling_ok(t, hw, block_k):
             entry["tile_any"] = ef.epipolar_tile_map(lines, t, h, w, ds, ef.BLOCK_Q, block_k)
         prep[ds] = entry
     return prep
@@ -107,7 +107,7 @@ def add_precomputed_penalties(
             h = cfg.origin_h // ds
             w = cfg.origin_w // ds
             hw = h * w
-            block_k = ef.BLOCK_K if (hw % ef.BLOCK_K == 0 or ef.BLOCK_K % hw == 0) else hw
+            block_k = ef.choose_block_k(hw)
             b, lq = lines.shape[:2]
             if b * lq * (lq + block_k) * 2 <= max_level_bytes:
                 entry["penalties"] = ef.materialize_penalties(
@@ -285,12 +285,9 @@ class Epipolar(nn.Module):
             # k-tiles either subdivide a frame (hw >= 1024) or span several
             # whole frames (hw < 1024) — BK=1024 minimises grid-step overhead
             hw = hh * ww
-            block_k = ef.BLOCK_K if (hw % ef.BLOCK_K == 0 or ef.BLOCK_K % hw == 0) else hw
-            kernel_ok = (
-                min(block_k, hw) >= 256
-                and (t * hw) % block_k == 0
-                and (t * hw) % ef.BLOCK_Q == 0
-                and (dim_head in (64, 128) or jax.default_backend() == "cpu")
+            block_k = ef.choose_block_k(hw)
+            kernel_ok = ef.kernel_tiling_ok(t, hw, block_k) and (
+                dim_head in (64, 128) or jax.default_backend() == "cpu"
             )
             if kernel_ok:
                 geom = (t, hh, ww, ds, block_k)

@@ -107,6 +107,21 @@ def _tile_rect_corners(h: int, w: int, downsample: int, block_k: int):
 SUBTILE = 256  # skip granularity within a k-tile (swept: 26% kernel win at ds8)
 
 
+def choose_block_k(hw: int) -> int:
+    """The canonical k-tile size for a level: BLOCK_K when it tiles the frame
+    layout (divides hw or spans whole frames), else one frame per tile.
+    Single source of truth for the sampler prep, the penalty materialiser and
+    the module dispatch — tile maps built for a different tiling would make
+    the kernel's scalar-prefetch reads silently wrong."""
+    return BLOCK_K if (hw % BLOCK_K == 0 or BLOCK_K % hw == 0) else hw
+
+
+def kernel_tiling_ok(t: int, hw: int, block_k: int) -> bool:
+    """Shape-eligibility of the Pallas kernel at this level (head-dim checks
+    are the caller's concern)."""
+    return min(block_k, hw) >= 256 and (t * hw) % block_k == 0 and (t * hw) % BLOCK_Q == 0
+
+
 def epipolar_tile_map(
     lines: jax.Array, t: int, h: int, w: int, downsample: int,
     block_q: int = BLOCK_Q, block_k: int = BLOCK_K,
@@ -439,6 +454,11 @@ def _epipolar_flash_fwd_impl(
     frames_per_tile = max(1, block_k // hw)
     sub = min(SUBTILE, block_k, hw)
     thresh = downsample * math.sqrt(2.0) / 2.0
+    # a tile map built for a DIFFERENT (block_q, block_k, SUBTILE) tiling would
+    # make the scalar-prefetch reads silently wrong (skipped/included subtiles
+    # with no error outside interpret mode) — reject it loudly instead
+    assert tile_any.shape == (b, nq, nk * (block_k // sub)), (
+        tile_any.shape, (b, nq, nk * (block_k // sub)))
 
     # kv-resident mode: hold the WHOLE key axis in VMEM with a constant block
     # index, so Mosaic DMAs k/v once per (batch, head-group) instead of

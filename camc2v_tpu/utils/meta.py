@@ -113,3 +113,32 @@ def launcher_script(
             python {src}/{script} {args}
         """)
     return f"#!/bin/bash\nset -euo pipefail\n{env}\n{body}"
+
+
+def distributed_init_from_env() -> bool:
+    """jax.distributed.initialize from the launcher's env contract.
+
+    The emitted launcher (launcher_script above) exports
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, but
+    jax.distributed.initialize() only auto-reads the coordinator address —
+    process count/id must be passed explicitly (jax 0.9 State.initialize reads
+    only JAX_COORDINATOR_ADDRESS / JAX_LOCAL_DEVICE_IDS from env). On real TPU
+    pod slices both may be omitted and cluster auto-detection fills them in.
+
+    Returns True iff initialize() was called.
+    """
+    import os
+
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS")
+    if not addr:
+        return False
+    import jax
+
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=None if nproc is None else int(nproc),
+        process_id=None if pid is None else int(pid),
+    )
+    return True

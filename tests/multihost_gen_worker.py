@@ -24,8 +24,12 @@ sys.path.insert(0, repo)
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.distributed.initialize(coordinator, num_processes=num_procs, process_id=proc_id)
-assert jax.process_count() == num_procs
+# exercise the emitted-launcher env contract (utils/meta.py launcher_script):
+# the CLI itself must pick these up via distributed_init_from_env — plain
+# jax.distributed.initialize() ignores JAX_NUM_PROCESSES / JAX_PROCESS_ID
+os.environ["JAX_COORDINATOR_ADDRESS"] = coordinator
+os.environ["JAX_NUM_PROCESSES"] = str(num_procs)
+os.environ["JAX_PROCESS_ID"] = str(proc_id)
 
 import runpy
 
@@ -34,6 +38,7 @@ sys.argv = [
     "--ddim-steps", "2", "--cfg-scale", "1.0",
 ]
 runpy.run_path(os.path.join(repo, "02_generate_videos.py"), run_name="__main__")
+assert jax.process_count() == num_procs  # the CLI's env-contract init ran
 names = sorted(
     d for d in os.listdir(out_dir)
     if os.path.exists(os.path.join(out_dir, d, "generated.mp4"))
