@@ -462,16 +462,21 @@ def _epipolar_flash_fwd_impl(
 
     # kv-resident mode: hold the WHOLE key axis in VMEM with a constant block
     # index, so Mosaic DMAs k/v once per (batch, head-group) instead of
-    # re-streaming them for every q-tile (~2.8 GB -> 44 MB per flagship ds8
-    # site — the measured 6.4 ms fixed cost of the BQ sweep, PERF.md). v5e
-    # VMEM is 128 MB; cap resident k+v (double-buffered by Mosaic) at 48 MB.
-    kv_resident = (
-        os.environ.get("CAMC2V_EPI_KV_RESIDENT", "0") == "1"
-        and 2 * 2 * heads * lk * d * 2 <= 48 * 1024 * 1024
-    )
-    if kv_resident:
-        hb = heads
-    else:
+    # re-streaming them for every q-tile (the measured 6.4 ms fixed cost of
+    # the BQ sweep, PERF.md). v5e VMEM is 128 MB; budget resident k+v
+    # (conservatively assume Mosaic double-buffers them) at 48 MB and pick the
+    # LARGEST head group that fits — at flagship ds8 (heads=5, Lk=17408) the
+    # full-heads footprint is 89 MB, so residency runs per-head (g=5) there
+    # and full-heads (g=1, token-major) at ds16 and below.
+    kv_resident = False
+    hb = 0
+    if os.environ.get("CAMC2V_EPI_KV_RESIDENT", "0") == "1":
+        budget = int(float(os.environ.get("CAMC2V_EPI_RESIDENT_VMEM_MB", "48")) * 1024 * 1024)
+        for cand in range(heads, 0, -1):
+            if heads % cand == 0 and 2 * 2 * cand * lk * d * 2 <= budget:
+                kv_resident, hb = True, cand
+                break
+    if not kv_resident:
         # the precomputed-penalty variant streams a (BQ, BK) bf16 tile per
         # grid step — account it like a mask tile when sizing the head group
         # (has_mask models an i32 tile, a safe overestimate for bf16)

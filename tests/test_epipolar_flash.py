@@ -583,3 +583,30 @@ def test_batch_shared_penalties_match_per_batch():
         block_q=BQ, block_k=BK,
     )
     np.testing.assert_allclose(np.asarray(out_shared), np.asarray(out_inkernel), atol=2e-6)
+
+def test_kv_resident_head_grouped_budget():
+    """When full-heads resident k/v exceeds the VMEM budget (flagship ds8),
+    residency must fall back to smaller head groups, not silently disable —
+    forced here with a tiny budget so heads=2 runs as two g=1 groups."""
+    import os
+
+    F = _realistic_F()
+    lines = epipolar_lines(F, H, W, DS)
+    q, k, v, *_ = _qkv()
+    base = epipolar_flash_attention(
+        q, k, v, lines, t=T, h=H, w=W, downsample=DS, num_registers=R,
+        block_q=BQ, block_k=BK,
+    )
+    try:
+        os.environ["CAMC2V_EPI_KV_RESIDENT"] = "1"
+        # 0.25 MB fits one head's k+v (160 KB) but not two (320 KB) at the
+        # tiny test shapes, forcing the grouped-resident path (hb=1, g=2)
+        os.environ["CAMC2V_EPI_RESIDENT_VMEM_MB"] = "0.25"
+        res = epipolar_flash_attention(
+            q, k, v, lines, t=T, h=H, w=W, downsample=DS, num_registers=R,
+            block_q=BQ, block_k=BK,
+        )
+        np.testing.assert_allclose(np.asarray(res), np.asarray(base), atol=2e-6)
+    finally:
+        os.environ.pop("CAMC2V_EPI_KV_RESIDENT", None)
+        os.environ.pop("CAMC2V_EPI_RESIDENT_VMEM_MB", None)
