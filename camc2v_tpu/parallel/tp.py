@@ -1,0 +1,131 @@
+"""Tensor-parallel sharding rules: a 2-D (data, model) mesh option.
+
+Beyond the reference's scaling story (DDP/ZeRO-1 only — main/trainer.py:47-194,
+configs/models/camcontexti2v_256.yaml:208): Megatron-style tensor parallelism
+for the UNet's transformer blocks, expressed purely as pjit shardings — no
+module changes. Column-parallel weights shard their OUTPUT features, the
+matching row-parallel output projections shard their INPUT features, and XLA's
+sharding propagation inserts the psum at each block boundary.
+
+Rules (paths are '/'-joined param-tree keys):
+  * column-parallel (last axis over "model"): attention to_q/to_k/to_v
+    (+ to_kv, to_k_ip, to_v_ip) kernels, GEGLU/ff first projections and their
+    biases — head and hidden dims divide over chips;
+  * row-parallel (first axis over "model"): attention to_out kernels and the
+    ff second projections (fc2 / ff_out) — outputs come out replicated via an
+    XLA-inserted all-reduce; their biases stay replicated;
+  * everything else (convs, norms, embeddings, VAE/CLIP) replicated.
+
+Pallas custom-call sites (fused temporal MHA, epipolar attention) are not
+partitioned by XLA — when they trigger, their operands are gathered around
+the call. Correctness is unaffected; at flagship scale those sites keep the
+single-chip kernels and TP accelerates the dense transformer math around
+them. Validated multi-chip on the CPU mesh (tests/test_tp.py) and by
+`__graft_entry__.dryrun_multichip`.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from camc2v_tpu.parallel.mesh import DATA_AXIS
+
+MODEL_AXIS = "model"
+
+# column-parallel: shard the LAST axis (output features / heads)
+_COL_RE = re.compile(
+    r"(to_q|to_k|to_v|to_kv|to_k_ip|to_v_ip)/kernel$"
+    r"|geglu/proj/(kernel|bias)$"
+    r"|ff/fc1/(kernel|bias)$"
+    r"|ff_proj/(kernel|bias)$"
+)
+# row-parallel: shard the FIRST axis (input features); bias replicated
+_ROW_RE = re.compile(r"to_out/kernel$|ff/fc2/kernel$|ff_out/kernel$")
+
+
+def make_tp_mesh(model_parallel: int, devices: Optional[list] = None) -> Mesh:
+    """(data, model) mesh: `model_parallel` chips per model group."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def tp_param_shardings(mesh: Mesh, params: Any) -> Any:
+    """Per-leaf NamedSharding tree implementing the column/row rules."""
+    mp = mesh.shape[MODEL_AXIS]
+
+    def leaf(path, x) -> NamedSharding:
+        p = "/".join(str(getattr(k, "key", k)) for k in path)
+        if not hasattr(x, "shape") or x.ndim == 0:
+            return NamedSharding(mesh, P())
+        if _COL_RE.search(p) and x.shape[-1] % mp == 0:
+            spec = [None] * x.ndim
+            spec[-1] = MODEL_AXIS
+            return NamedSharding(mesh, P(*spec))
+        if _ROW_RE.search(p) and x.ndim >= 2 and x.shape[0] % mp == 0:
+            spec = [None] * x.ndim
+            spec[0] = MODEL_AXIS
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(leaf, params)
+
+
+def tp_state_shardings(mesh: Mesh, state: Any) -> Any:
+    """TrainState shardings: params (and EMA) by the TP rules, optimizer state
+    mirrored from its matching param leaf where shapes line up, scalars
+    replicated. Optimizer moments share their param's layout, so ZeRO-style
+    data-axis splitting is left off in TP mode (moments are already 1/mp)."""
+    import dataclasses as dc
+
+    psh = tp_param_shardings(mesh, state.params)
+    repl = NamedSharding(mesh, P())
+
+    param_leaves = {
+        tuple(str(getattr(k, "key", k)) for k in path): s
+        for path, s in jax.tree_util.tree_flatten_with_path(psh)[0]
+    }
+
+    def opt_leaf(path, x):
+        if not hasattr(x, "shape") or x.ndim == 0:
+            return repl
+        # match the trailing param path inside optimizer-state wrappers
+        keys = tuple(str(getattr(k, "key", k)) for k in path)
+        for plen in range(len(keys), 0, -1):
+            cand = keys[-plen:]
+            if cand in param_leaves:
+                return param_leaves[cand]
+        return repl
+
+    return dc.replace(
+        state,
+        params=psh,
+        opt_state=jax.tree_util.tree_map_with_path(opt_leaf, state.opt_state),
+        ema_params=None if state.ema_params is None else tp_param_shardings(mesh, state.ema_params),
+        step=repl,
+    )
+
+
+def make_tp_train_step(model, mesh: Mesh, state, cfg, loss_kwargs: Optional[dict] = None):
+    """jit the generic train step over the (data, model) mesh.
+
+    Batch shards over `data`; params/opt-state follow the TP rules; the step
+    donates its input state like the data-parallel trainer.
+    """
+    from camc2v_tpu.parallel.trainer import make_train_step
+
+    step = make_train_step(model, cfg, loss_kwargs=loss_kwargs)
+    out_shardings = (tp_state_shardings(mesh, state), NamedSharding(mesh, P()))
+    return jax.jit(step, donate_argnums=(0,), out_shardings=out_shardings)
+
+
+def shard_tp_train_state(mesh: Mesh, state: Any) -> Any:
+    """Place a host TrainState onto the mesh per tp_state_shardings."""
+    return jax.tree_util.tree_map(jax.device_put, state, tp_state_shardings(mesh, state))

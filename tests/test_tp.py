@@ -1,0 +1,102 @@
+"""Tensor-parallel (data, model) mesh tests on the 8-device CPU mesh.
+
+Beyond-reference scaling option (the reference ships DDP/ZeRO-1 only):
+Megatron-style column/row sharding of the transformer denses via pjit
+shardings (camc2v_tpu/parallel/tp.py). The TP step must (a) actually shard
+the attention/FF weights, (b) reproduce the single-device loss, and (c) train.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from camc2v_tpu.models.dynamicrafter import DynamiCrafter
+from camc2v_tpu.parallel import tp as TP
+from camc2v_tpu.parallel import trainer as TR
+from camc2v_tpu.parallel.mesh import shard_batch
+from tests.test_dynamicrafter import tiny_config, _batch
+
+
+@pytest.fixture(scope="module")
+def model_state():
+    model = DynamiCrafter(tiny_config(), dtype=jnp.float32)
+    params = model.init_params(jax.random.key(0), image_hw=(32, 32))
+    from tests.util import perturb_zero_kernels
+
+    params = perturb_zero_kernels(params)
+    cfg = TR.TrainConfig(accumulate_grad_batches=1)
+    state = TR.init_train_state(cfg, params)
+    return model, cfg, state
+
+
+def _batch2():
+    b1 = _batch()
+    return jax.tree_util.tree_map(
+        lambda x: jnp.concatenate([x, x], axis=0) if hasattr(x, "ndim") and x.ndim else x, b1
+    )
+
+
+def test_tp_shardings_split_attention_weights(model_state):
+    _, _, state = model_state
+    mesh = TP.make_tp_mesh(4)
+    sh = TP.tp_param_shardings(mesh, state.params)
+    flat = jax.tree_util.tree_flatten_with_path(sh)[0]
+    col = row = repl = 0
+    for path, s in flat:
+        p = "/".join(str(getattr(k, "key", k)) for k in path)
+        spec = tuple(s.spec)
+        if p.endswith("to_q/kernel"):
+            assert spec[-1] == TP.MODEL_AXIS, p
+            col += 1
+        elif p.endswith("to_out/kernel"):
+            assert spec and spec[0] == TP.MODEL_AXIS, p
+            row += 1
+        elif "conv" in p or p.endswith("scale") or p.endswith("bias"):
+            pass  # mixture; not asserted per-leaf
+        if not any(spec):
+            repl += 1
+    assert col >= 4 and row >= 4 and repl > col + row
+
+
+def test_tp_train_step_matches_single_device(model_state):
+    model, cfg, state = model_state
+    batch = _batch2()
+
+    # single-device reference (same rng, same batch)
+    ref_step = jax.jit(TR.make_train_step(model, cfg))
+    ref_state, ref_metrics = ref_step(
+        jax.tree_util.tree_map(lambda x: x, state), batch, jax.random.key(7)
+    )
+    ref_loss = float(ref_metrics["loss"])
+
+    mesh = TP.make_tp_mesh(4)  # 2 data x 4 model on the 8 CPU devices
+    tp_state = TP.shard_tp_train_state(mesh, state)
+    tp_step = TP.make_tp_train_step(model, mesh, state, cfg)
+    tp_batch = shard_batch(mesh, batch)
+    new_state, metrics = tp_step(tp_state, tp_batch, jax.random.key(7))
+    tp_loss = float(metrics["loss"])
+
+    assert np.isfinite(tp_loss)
+    np.testing.assert_allclose(tp_loss, ref_loss, rtol=2e-4)
+
+    # weights actually live sharded: a to_q kernel's addressable shard is 1/4
+    def find_to_q(tree, pre=""):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                r = find_to_q(v, pre + "/" + k)
+                if r is not None:
+                    return r
+            return None
+        return tree if pre.endswith("to_q/kernel") else None
+
+    leaf = find_to_q(new_state.params["unet"])
+    assert leaf is not None
+    shard = leaf.addressable_shards[0].data
+    assert shard.shape[-1] * 4 == leaf.shape[-1], (shard.shape, leaf.shape)
+
+    # updated params stay numerically aligned with the single-device step
+    ref_leaf = find_to_q(ref_state.params["unet"])
+    np.testing.assert_allclose(
+        np.asarray(leaf), np.asarray(ref_leaf), atol=2e-5
+    )
