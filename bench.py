@@ -177,32 +177,103 @@ def bench_tiny():
 
 
 _RETRY_ENV = "CAMC2V_BENCH_ATTEMPT"
+_WAIT_FLAG_ENV = "CAMC2V_BENCH_WAITING"   # set before re-exec: probe at startup
+_WAITED_ENV = "CAMC2V_BENCH_WAITED_S"     # cumulative outage-wait across re-execs
+_WAIT_ENV = "CAMC2V_BENCH_WAIT_S"         # total outage budget (default 2 h)
 _MAX_ATTEMPTS = 3
+
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp; jax.devices(); "
+    "x = jnp.ones((8, 8)); (x @ x).block_until_ready()"
+)
+
+
+def _probe_tpu() -> bool:
+    """Cheap subprocess probe: True iff the axon backend inits and runs one op.
+
+    Runs out-of-process because a failed init poisons the in-process backend
+    cache (and during an outage init can hang for minutes — hence timeout).
+    """
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run([sys.executable, "-c", _PROBE_SRC], timeout=300,
+                           stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def _retry_transient(exc: Exception):
     """Re-exec the bench on transient remote-TPU failures.
 
-    The axon tunnel occasionally returns UNAVAILABLE / HTTP 500 on backend
-    init or remote compile; a failed init poisons the in-process backend
-    cache, so the retry must be a fresh process.
+    The axon tunnel returns UNAVAILABLE / HTTP 500 / INTERNAL on backend init
+    or remote compile, and suffers multi-hour outages. On a transient error we
+    re-exec IMMEDIATELY (the axon backend is single-claim: execv closes this
+    process's tunnel sockets, so probes from the fresh process don't collide
+    with a claim the failed parent may still hold); the fresh process then
+    probe-waits in _wait_for_tpu() before touching the backend. Waiting out an
+    outage does not consume an attempt; failures while the tunnel answers
+    (e.g. flaky remote compile) are capped at _MAX_ATTEMPTS.
     """
     import os
     import sys
 
     msg = f"{type(exc).__name__}: {exc}"
-    transient = any(s in msg for s in ("UNAVAILABLE", "Unable to initialize backend", "DEADLINE"))
+    transient = any(s in msg for s in (
+        "UNAVAILABLE", "Unable to initialize backend", "DEADLINE",
+        "INTERNAL", "HTTP 500", "Internal Server Error",
+    ))
     attempt = int(os.environ.get(_RETRY_ENV, "0"))
     if not transient or attempt >= _MAX_ATTEMPTS:
         raise exc
     print(f"bench: transient TPU failure (attempt {attempt + 1}/{_MAX_ATTEMPTS}): "
-          f"{msg[:300]} — retrying in 120 s", file=sys.stderr, flush=True)
-    time.sleep(120)
-    os.environ[_RETRY_ENV] = str(attempt + 1)
+          f"{msg[:300]} — re-exec + probe", file=sys.stderr, flush=True)
+    os.environ[_WAIT_FLAG_ENV] = "1"
     os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
+def _wait_for_tpu():
+    """Startup probe-wait of a re-exec'd bench (claim-free fresh process).
+
+    Budget = cumulative time spent waiting out outages across all re-execs
+    (CAMC2V_BENCH_WAIT_S, default 2 h) — time spent RUNNING never counts.
+    """
+    import os
+    import sys
+
+    os.environ.pop(_WAIT_FLAG_ENV, None)
+    attempt = int(os.environ.get(_RETRY_ENV, "0"))
+    waited = float(os.environ.get(_WAITED_ENV, "0") or 0)
+    budget = float(os.environ.get(_WAIT_ENV, "7200"))
+    if _probe_tpu():
+        # tunnel is up: the failure was a one-off (e.g. 500 mid-compile) —
+        # this DOES consume an attempt; brief pause before the retry
+        os.environ[_RETRY_ENV] = str(attempt + 1)
+        time.sleep(120)
+        return
+    print("bench: tunnel down — waiting for recovery "
+          f"({budget - waited:.0f} s of outage budget left)", file=sys.stderr, flush=True)
+    t0 = time.monotonic()
+    while True:
+        if waited + (time.monotonic() - t0) > budget:
+            print("bench: outage outlasted the wait budget — giving up",
+                  file=sys.stderr, flush=True)
+            sys.exit(3)
+        time.sleep(60)
+        if _probe_tpu():
+            break
+    os.environ[_WAITED_ENV] = str(waited + (time.monotonic() - t0))
+    print("bench: tunnel answering — resuming", file=sys.stderr, flush=True)
+
+
 def main():
+    import os
+
+    if os.environ.get(_WAIT_FLAG_ENV):
+        _wait_for_tpu()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true", help="CPU smoke run (tiny config)")
     ap.add_argument("--unet-only", action="store_true", help="benchmark one UNet eval only")

@@ -566,9 +566,13 @@ def _epipolar_flash_fwd_impl(
             # BQ=512 needs 16.25 MB scoped vmem (256 KB over the 16 MB Mosaic
             # default); v5e physical VMEM is far larger — scale the limit with
             # the tile sizes so bigger tiles (fewer grid steps) can compile.
-            # kv-resident mode holds whole (double-buffered) k/v in VMEM.
+            # kv-resident mode holds whole (double-buffered) k/v in VMEM: size
+            # the limit off the ACTUAL residency (which tracks the env budget,
+            # CAMC2V_EPI_RESIDENT_VMEM_MB) plus q/penalty/scratch headroom, so
+            # raising the budget past the old fixed 100 MB still compiles.
             vmem_limit_bytes=(
-                100 * 1024 * 1024 if kv_resident
+                max(100 * 1024 * 1024,
+                    2 * 2 * hb * lk * d * 2 + 32 * 1024 * 1024) if kv_resident
                 else max(1, block_q // 256, block_k // 1024) * 24 * 1024 * 1024
             ),
         ),

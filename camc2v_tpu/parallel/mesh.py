@@ -27,6 +27,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def path_str(path) -> str:
+    """Render a tree_*_with_path key path as 'unet/in_0_res/out_conv/kernel'.
+
+    The single source of truth for param-path strings — the trainable-pattern
+    regexes (trainer.param_labels), the TP sharding rules (tp.py) and their
+    tests all match against this rendering."""
+    return "/".join(str(getattr(k, "key", k)) for k in path)
+
+
 def make_mesh(devices: Optional[list] = None, axis_name: str = DATA_AXIS) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     return Mesh(np.asarray(devices), (axis_name,))

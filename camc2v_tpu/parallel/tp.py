@@ -16,11 +16,18 @@ Rules (paths are '/'-joined param-tree keys):
     XLA-inserted all-reduce; their biases stay replicated;
   * everything else (convs, norms, embeddings, VAE/CLIP) replicated.
 
-Pallas custom-call sites (fused temporal MHA, epipolar attention) are not
-partitioned by XLA — when they trigger, their operands are gathered around
-the call. Correctness is unaffected; at flagship scale those sites keep the
-single-chip kernels and TP accelerates the dense transformer math around
-them. Validated multi-chip on the CPU mesh (tests/test_tp.py) and by
+Pallas custom-call sites (fused temporal MHA, fused LN+GEGLU FF, flash and
+epipolar attention) are not partitioned by XLA — when they trigger, their
+operands are gathered around the call. Two of those kernels consume RAW
+WEIGHTS as operands (the fused temporal MHA takes to_q/to_k/to_v/to_out of
+the temporal blocks, the fused FF takes ff/geglu/proj + ff/fc2 — see
+nn/attention.py), so sharding those weights would buy a per-step all-gather
+with zero sharded compute in return. `tp_param_shardings` therefore excludes
+them whenever the corresponding kernel is enabled (disable the kernels —
+CAMC2V_DISABLE_FUSED_TEMPORAL=1 / CAMC2V_DISABLE_FUSED_FF=1 or their
+use_fused(False) overrides — and the weights shard again). What TP accelerates at flagship: the spatial/cross attention
+projections, the XLA-path FFs, and every matmul XLA partitions natively.
+Validated multi-chip on the CPU mesh (tests/test_tp.py) and by
 `__graft_entry__.dryrun_multichip`.
 """
 
@@ -33,7 +40,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from camc2v_tpu.parallel.mesh import DATA_AXIS
+from camc2v_tpu.parallel.mesh import DATA_AXIS, path_str
 
 MODEL_AXIS = "model"
 
@@ -47,6 +54,30 @@ _COL_RE = re.compile(
 # row-parallel: shard the FIRST axis (input features); bias replicated
 _ROW_RE = re.compile(r"to_out/kernel$|ff/fc2/kernel$|ff_out/kernel$")
 
+# weights consumed directly by Pallas kernels (UNet temporal blocks are named
+# *_temporal / init_attn / mid_temporal — nn/unet3d.py:200-249)
+_FUSED_MHA_RE = re.compile(r"(_temporal|init_attn)/.*(to_q|to_k|to_v|to_out)/")
+_FUSED_FF_RE = re.compile(r"ff/(geglu/proj|fc2)/")
+
+
+def _fused_weight_exclusions() -> list:
+    """Regexes for weights that are operands of enabled fused Pallas kernels.
+
+    XLA cannot partition a custom call, so a model-axis-sharded weight that
+    only feeds one is all-gathered every step for nothing — keep those
+    replicated. Evaluated at sharding-build time against the same env switches
+    the dispatch sites read (ops/temporal_attention.fused_enabled,
+    ops/geglu_ff.fused_enabled)."""
+    from camc2v_tpu.ops import geglu_ff as gff
+    from camc2v_tpu.ops import temporal_attention as ta
+
+    ex = []
+    if ta.fused_enabled():
+        ex.append(_FUSED_MHA_RE)
+    if gff.fused_enabled():
+        ex.append(_FUSED_FF_RE)
+    return ex
+
 
 def make_tp_mesh(model_parallel: int, devices: Optional[list] = None) -> Mesh:
     """(data, model) mesh: `model_parallel` chips per model group."""
@@ -57,13 +88,19 @@ def make_tp_mesh(model_parallel: int, devices: Optional[list] = None) -> Mesh:
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
-def tp_param_shardings(mesh: Mesh, params: Any) -> Any:
-    """Per-leaf NamedSharding tree implementing the column/row rules."""
+def tp_param_shardings(mesh: Mesh, params: Any, fused_aware: bool = True) -> Any:
+    """Per-leaf NamedSharding tree implementing the column/row rules.
+
+    `fused_aware` (default) keeps weights replicated when their only consumer
+    is an enabled fused Pallas kernel (see _fused_weight_exclusions)."""
     mp = mesh.shape[MODEL_AXIS]
+    exclusions = _fused_weight_exclusions() if fused_aware else []
 
     def leaf(path, x) -> NamedSharding:
-        p = "/".join(str(getattr(k, "key", k)) for k in path)
+        p = path_str(path)
         if not hasattr(x, "shape") or x.ndim == 0:
+            return NamedSharding(mesh, P())
+        if any(r.search(p) for r in exclusions):
             return NamedSharding(mesh, P())
         if _COL_RE.search(p) and x.shape[-1] % mp == 0:
             spec = [None] * x.ndim
@@ -89,7 +126,7 @@ def tp_state_shardings(mesh: Mesh, state: Any) -> Any:
     repl = NamedSharding(mesh, P())
 
     param_leaves = {
-        tuple(str(getattr(k, "key", k)) for k in path): s
+        tuple(path_str(path).split("/")): s
         for path, s in jax.tree_util.tree_flatten_with_path(psh)[0]
     }
 
@@ -97,7 +134,7 @@ def tp_state_shardings(mesh: Mesh, state: Any) -> Any:
         if not hasattr(x, "shape") or x.ndim == 0:
             return repl
         # match the trailing param path inside optimizer-state wrappers
-        keys = tuple(str(getattr(k, "key", k)) for k in path)
+        keys = tuple(path_str(path).split("/"))
         for plen in range(len(keys), 0, -1):
             cand = keys[-plen:]
             if cand in param_leaves:
@@ -113,15 +150,18 @@ def tp_state_shardings(mesh: Mesh, state: Any) -> Any:
     )
 
 
-def make_tp_train_step(model, mesh: Mesh, state, cfg, loss_kwargs: Optional[dict] = None):
+def make_tp_train_step(model, mesh: Mesh, state, cfg,
+                       world_batch_scale: float = 1.0,
+                       loss_kwargs: Optional[dict] = None):
     """jit the generic train step over the (data, model) mesh.
 
     Batch shards over `data`; params/opt-state follow the TP rules; the step
     donates its input state like the data-parallel trainer.
+    `world_batch_scale` feeds cfg.scale_lr exactly as in the DP trainer.
     """
     from camc2v_tpu.parallel.trainer import make_train_step
 
-    step = make_train_step(model, cfg, loss_kwargs=loss_kwargs)
+    step = make_train_step(model, cfg, world_batch_scale, loss_kwargs=loss_kwargs)
     out_shardings = (tp_state_shardings(mesh, state), NamedSharding(mesh, P()))
     return jax.jit(step, donate_argnums=(0,), out_shardings=out_shardings)
 

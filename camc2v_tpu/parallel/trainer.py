@@ -27,7 +27,7 @@ import optax
 from jax.sharding import Mesh
 
 from camc2v_tpu.core import ema as ema_lib
-from camc2v_tpu.parallel.mesh import replicated, zero1_sharding
+from camc2v_tpu.parallel.mesh import path_str, replicated, zero1_sharding
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,9 +71,6 @@ def param_labels(params: Any, patterns: tuple[str, ...]) -> Any:
     freeze it and train adapters — model/base.py:35-69).
     """
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
-
-    def path_str(path):
-        return "/".join(str(getattr(k, "key", k)) for k in path)
 
     labels = {}
     for path, _ in flat:

@@ -14,7 +14,7 @@ import pytest
 from camc2v_tpu.models.dynamicrafter import DynamiCrafter
 from camc2v_tpu.parallel import tp as TP
 from camc2v_tpu.parallel import trainer as TR
-from camc2v_tpu.parallel.mesh import shard_batch
+from camc2v_tpu.parallel.mesh import path_str, shard_batch
 from tests.test_dynamicrafter import tiny_config, _batch
 
 
@@ -44,7 +44,7 @@ def test_tp_shardings_split_attention_weights(model_state):
     flat = jax.tree_util.tree_flatten_with_path(sh)[0]
     col = row = repl = 0
     for path, s in flat:
-        p = "/".join(str(getattr(k, "key", k)) for k in path)
+        p = path_str(path)
         spec = tuple(s.spec)
         if p.endswith("to_q/kernel"):
             assert spec[-1] == TP.MODEL_AXIS, p
@@ -57,6 +57,42 @@ def test_tp_shardings_split_attention_weights(model_state):
         if not any(spec):
             repl += 1
     assert col >= 4 and row >= 4 and repl > col + row
+
+
+def test_tp_fused_kernel_weights_stay_replicated(model_state):
+    """Weights that are raw operands of enabled fused Pallas kernels must not
+    shard: XLA can't partition the custom call, so sharding them only buys a
+    per-step all-gather. Forced on here (CPU auto-dispatch is off)."""
+    from camc2v_tpu.ops import geglu_ff as gff
+    from camc2v_tpu.ops import temporal_attention as ta
+
+    _, _, state = model_state
+    mesh = TP.make_tp_mesh(4)
+    ta.use_fused(True)
+    gff.use_fused(True)
+    try:
+        sh = TP.tp_param_shardings(mesh, state.params)
+    finally:
+        ta.use_fused(None)
+        gff.use_fused(None)
+    flat = jax.tree_util.tree_flatten_with_path(sh)[0]
+    checked_temporal = checked_ff = checked_spatial = 0
+    for path, s in flat:
+        p = path_str(path)
+        spec = tuple(s.spec)
+        if ("_temporal/" in p or "init_attn/" in p) and p.endswith(
+            ("to_q/kernel", "to_k/kernel", "to_v/kernel", "to_out/kernel")
+        ):
+            assert not any(spec), f"fused-MHA operand sharded: {p}"
+            checked_temporal += 1
+        elif "ff/geglu/proj/" in p or "ff/fc2/" in p:
+            assert not any(spec), f"fused-FF operand sharded: {p}"
+            checked_ff += 1
+        elif "_spatial/" in p and p.endswith("to_q/kernel"):
+            # spatial attention projections are NOT kernel operands: still TP
+            assert spec and spec[-1] == TP.MODEL_AXIS, p
+            checked_spatial += 1
+    assert checked_temporal and checked_ff and checked_spatial
 
 
 def test_tp_train_step_matches_single_device(model_state):
