@@ -122,8 +122,11 @@ class GroupNorm32(nn.Module):
                 )
             # Large 4-D maps (the VAE's 256^2 norms, ~34 MB/sample) reuse the
             # same two-phase kernels by viewing (N, H, W, C) as (N, s, H/s*W, C):
-            # stats per sample over all of H,W either way.
-            if x.ndim == 4 and _os.environ.get("CAMC2V_GN_TEMPORAL", "0") == "1":
+            # stats per sample over all of H,W either way. Own gate: the
+            # CAMC2V_GN_TEMPORAL negative A/B (r3c) measured the UNet's many
+            # SMALL 5-D temporal sites — the VAE's few huge maps are a
+            # different regime (the e2e per-call fixed cost, not the step).
+            if x.ndim == 4 and _os.environ.get("CAMC2V_GN_BIG4D", "0") == "1":
                 n_, h_, w_, c_ = x.shape
                 for s_ in range(2, h_ + 1):
                     if h_ % s_ != 0:

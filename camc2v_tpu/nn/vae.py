@@ -48,11 +48,9 @@ class AEResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         in_ch = x.shape[-1]
-        h = GroupNorm32(epsilon=1e-6, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm32(epsilon=1e-6, name="norm1")(x, silu=True)
         h = Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm32(epsilon=1e-6, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(epsilon=1e-6, name="norm2")(h, silu=True)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv2")(h)
@@ -107,8 +105,7 @@ class Encoder(nn.Module):
         h = AEResnetBlock(h.shape[-1], cfg.dropout, dtype=self.dtype, name="mid_block_1")(h, deterministic=deterministic)
         h = AEAttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
         h = AEResnetBlock(h.shape[-1], cfg.dropout, dtype=self.dtype, name="mid_block_2")(h, deterministic=deterministic)
-        h = GroupNorm32(epsilon=1e-6, name="norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(epsilon=1e-6, name="norm_out")(h, silu=True)
         z_ch = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
         return Conv(z_ch, (3, 3), dtype=self.dtype, name="conv_out")(h)
 
@@ -136,8 +133,7 @@ class Decoder(nn.Module):
                 n, hh, ww, c = h.shape
                 h = jax.image.resize(h, (n, hh * 2, ww * 2, c), "nearest")
                 h = Conv(c, (3, 3), dtype=self.dtype, name=f"up_{i}_upsample")(h)
-        h = GroupNorm32(epsilon=1e-6, name="norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(epsilon=1e-6, name="norm_out")(h, silu=True)
         return Conv(cfg.out_ch, (3, 3), dtype=self.dtype, name="conv_out")(h)
 
 
