@@ -343,3 +343,84 @@ def load_torch_checkpoint(path: str) -> dict[str, np.ndarray]:
     if isinstance(sd, dict) and "module" in sd and isinstance(sd["module"], dict):
         sd = sd["module"]
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
+
+
+# --------------------------------------------------------------- export side
+
+def _inverse_transform(arr: np.ndarray, torch_rank: int) -> np.ndarray:
+    """Invert _transform: flax kernel layout -> the torch layout of a leaf
+    whose checkpoint tensor had `torch_rank` dims."""
+    if torch_rank == 2:
+        return arr.T
+    if torch_rank == 3 and arr.ndim == 2:
+        # Linear stored as Conv1d(k=1): (in, out) -> (out, in, 1)
+        return arr.T[:, :, None]
+    if torch_rank == 4:
+        return arr.transpose(3, 2, 0, 1)
+    if torch_rank == 5:
+        return arr.transpose(4, 3, 0, 1, 2)
+    return arr
+
+
+def export_state_dict(
+    params: Any, template: dict[str, np.ndarray], unet_cfg, strict: bool = True
+) -> tuple[dict[str, np.ndarray], dict]:
+    """Write a params pytree back into reference state-dict format.
+
+    `template` supplies the reference key set and per-key shapes/dtypes —
+    normally the checkpoint the run was initialised from (the round-trip the
+    reference's own tooling expects: import `.pt` -> train -> export for the
+    reference eval stack, 01_train.py:350-373 / main/utils_train.py:165-214).
+    Keys the importer skips (schedule buffers, EMA copies, dead CLIP blocks)
+    keep their template values; mapped keys are inverse-transformed from the
+    pytree. Returns (state_dict, report).
+    """
+    import jax
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+
+    def path_str(path):
+        return "/".join(str(getattr(k, "key", k)) for k in path)
+
+    leaves = {path_str(p): np.asarray(l) for p, l in flat}
+    out: dict[str, np.ndarray] = {}
+    report = {"exported": [], "template_passthrough": [], "missing_params": [],
+              "shape_mismatch": []}
+
+    for key, tarr in template.items():
+        tarr = np.asarray(tarr)
+        flax_key = map_reference_key(key, unet_cfg)
+        if flax_key is None:
+            out[key] = tarr
+            report["template_passthrough"].append(key)
+            continue
+        flax_key, needs_transform = _leaf_name(flax_key, tarr.ndim)
+        if flax_key not in leaves:
+            out[key] = tarr
+            report["missing_params"].append((key, flax_key))
+            continue
+        value = leaves[flax_key].astype(np.float32)
+        if needs_transform and flax_key.endswith("kernel"):
+            value = _inverse_transform(value, tarr.ndim)
+        if tuple(value.shape) != tuple(tarr.shape):
+            report["shape_mismatch"].append((key, flax_key, value.shape, tuple(tarr.shape)))
+            out[key] = tarr
+            continue
+        out[key] = value.astype(tarr.dtype)
+        report["exported"].append((key, flax_key))
+
+    if strict and (report["missing_params"] or report["shape_mismatch"]):
+        raise ValueError(
+            f"strict export failed: {len(report['missing_params'])} params missing, "
+            f"{len(report['shape_mismatch'])} shape mismatches; first: "
+            f"{(report['missing_params'] or report['shape_mismatch'])[:5]}"
+        )
+    return out, report
+
+
+def save_torch_checkpoint(path: str, state_dict: dict[str, np.ndarray]) -> None:
+    """Write a Lightning-compatible `{'state_dict': ...}` .pt file."""
+    import torch
+
+    torch.save({"state_dict": {k: torch.from_numpy(np.ascontiguousarray(v))
+                               for k, v in state_dict.items()}}, path)

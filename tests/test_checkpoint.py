@@ -179,3 +179,47 @@ def test_orbax_roundtrip(tmp_path):
     restored = CK.restore_checkpoint(str(tmp_path / "ck"), target)
     np.testing.assert_allclose(np.asarray(restored["params"]["w"]), np.arange(6.0).reshape(2, 3))
     assert int(restored["step"]) == 7
+
+
+@pytest.mark.parametrize("torch_shape", [(6, 4), (6, 4, 1), (6, 4, 3, 3), (6, 4, 2, 3, 3)])
+def test_inverse_transform_roundtrips(torch_shape):
+    """_inverse_transform(_transform(x)) == x for every kernel rank."""
+    rng = np.random.default_rng(3)
+    arr = rng.normal(size=torch_shape).astype(np.float32)
+    flax_side = TI._transform(arr)
+    back = TI._inverse_transform(flax_side, len(torch_shape))
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_export_state_dict_small():
+    """Export writes pytree leaves back into template keys (inverse layouts);
+    import(export(params)) is the identity on the mapped leaves."""
+    from camc2v_tpu.nn.resampler import Resampler
+
+    rs = Resampler(dim=8, depth=1, dim_head=4, heads=2, num_queries=2, embedding_dim=6,
+                   output_dim=8, video_length=2, use_timestep_emb=True)
+    params = {"image_proj": rs.init(jax.random.key(0), jnp.zeros((1, 3, 6)))["params"]}
+
+    rng = np.random.default_rng(1)
+    template = {
+        "image_proj_model.latents": rng.normal(size=(1, 4, 8)).astype(np.float32),
+        "image_proj_model.proj_in.weight": rng.normal(size=(8, 6)).astype(np.float32),
+        "image_proj_model.proj_in.bias": rng.normal(size=(8,)).astype(np.float32),
+        "betas": np.linspace(1e-4, 2e-2, 10).astype(np.float32),  # skipped -> passthrough
+    }
+    out, report = TI.export_state_dict(params, template, UNET_CFG, strict=False)
+    assert set(out) == set(template)
+    assert len(report["exported"]) == 3
+    assert report["template_passthrough"] == ["betas"]
+    np.testing.assert_array_equal(out["betas"], template["betas"])
+    np.testing.assert_allclose(
+        out["image_proj_model.proj_in.weight"],
+        np.asarray(params["image_proj"]["proj_in"]["kernel"]).T, atol=0,
+    )
+    # round-trip: import the export -> identical leaves
+    reparams, rep2 = TI.import_state_dict(out, jax.tree_util.tree_map(np.zeros_like, params), UNET_CFG)
+    assert len(rep2["mapped"]) == 3
+    np.testing.assert_array_equal(
+        np.asarray(reparams["image_proj"]["latents"]),
+        np.asarray(params["image_proj"]["latents"]),
+    )

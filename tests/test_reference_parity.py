@@ -334,3 +334,27 @@ def test_epipolar_mask_variants_golden(pairs, variant):
         diag_m = bm[:, np.arange(T), :, np.arange(T), :]
         diag_r = br[:, np.arange(T), :, np.arange(T), :]
         np.testing.assert_array_equal(diag_m, diag_r, err_msg=f"{variant} diagonal")
+
+
+@pytest.mark.parametrize("family", ["camcontext", "motionctrl"])
+def test_export_state_dict_whole_model_roundtrip(pairs, family):
+    """export_state_dict inverts the import exactly: with the randomized
+    reference state dict as template, every exported tensor must equal the
+    value it was imported from (transposes are exact in f32), and passthrough
+    keys keep their template values — so the whole dict round-trips back into
+    the reference's own load path (main/utils_train.py:165-214)."""
+    from camc2v_tpu.utils.torch_import import export_state_dict
+
+    ref, mine, params = pairs(family)
+    sd = {k: v.detach().cpu().numpy() for k, v in ref.state_dict().items()}
+    out, report = export_state_dict(params, sd, mine.config.unet, strict=False)
+
+    assert set(out) == set(sd)
+    assert len(report["exported"]) > 50
+    assert not report["shape_mismatch"], report["shape_mismatch"][:5]
+    # only the dummy-encoder CLIP towers may be missing from the pytree
+    missing = [t for _, t in report["missing_params"]
+               if not t.startswith(("clip_text/", "clip_vision/"))]
+    assert not missing, missing[:10]
+    for k in sd:
+        np.testing.assert_array_equal(out[k], sd[k]), k
