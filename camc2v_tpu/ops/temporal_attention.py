@@ -40,8 +40,18 @@ from jax.experimental.pallas import tpu as pltpu
 _TILE_ROWS = 128
 # row-groups processed per grid step (fewer grid steps, same VPU work)
 _GROUPS = 2
-# VMEM budget for resident weights + working tiles
-_MAX_WEIGHT_BYTES = 8 * 1024 * 1024
+# VMEM budget for resident weights + working tiles. The default admits the
+# C<=640 levels; the C=1280 (ds32/ds64, heads=20) sites need ~13.1 MB of
+# resident weights — raise via CAMC2V_TEMPORAL_MAX_WEIGHT_MB to A/B routing
+# them through the kernel (the Mosaic vmem limit scales automatically).
+_DEFAULT_MAX_WEIGHT_MB = 8.0
+
+
+def _max_weight_bytes() -> int:
+    import os
+
+    return int(float(os.environ.get(
+        "CAMC2V_TEMPORAL_MAX_WEIGHT_MB", str(_DEFAULT_MAX_WEIGHT_MB))) * 1024 * 1024)
 
 
 _USE_FUSED: Optional[bool] = None
@@ -76,7 +86,7 @@ def supported(n: int, t: int, c_in: int, c_out: int, heads: int, dim_head: int) 
     if n % pack != 0:
         return False
     # resident weights: 3x (H, C_in, D) + (C_inner, C_out) in bf16
-    if (3 * heads * c_in * dim_head + inner * c_out) * 2 > _MAX_WEIGHT_BYTES:
+    if (3 * heads * c_in * dim_head + inner * c_out) * 2 > _max_weight_bytes():
         return False
     return True
 
@@ -210,6 +220,15 @@ def _fwd_impl(x, wqkv, wo, bo, ls=None, lb=None, *, heads, dim_head, scale,
             pl.BlockSpec((1, c_in), lambda i: (0, 0)),
         ]
         operands += [ls.reshape(1, c_in), lb.reshape(1, c_in)]
+    # weights above ~4 MB push double-buffered VMEM past Mosaic's 16 MB
+    # default — scale the limit with the resident-weight footprint
+    weight_bytes = (wqkv.size + wo.size) * 2
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",),
+        vmem_limit_bytes=(2 * weight_bytes + 12 * 1024 * 1024
+                          if 2 * weight_bytes + 12 * 1024 * 1024 > 16 * 1024 * 1024
+                          else None),
+    )
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -217,7 +236,7 @@ def _fwd_impl(x, wqkv, wo, bo, ls=None, lb=None, *, heads, dim_head, scale,
         out_specs=pl.BlockSpec((bn, t, c_out), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, t, c_out), x.dtype),
         scratch_shapes=[pltpu.VMEM((bn * t, inner), jnp.bfloat16)],
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        compiler_params=compiler_params,
         interpret=interpret,
     )(*operands)
 

@@ -241,3 +241,20 @@ def test_supported_predicate_gates():
     assert not ta.supported(32, 16, 1280, 1280, 20, 64)  # weights exceed VMEM budget
     assert ta.supported(2048, 16, 320, 320, 5, 64)
     assert ta.supported(2048, 16, 320, 512, 8, 64)       # init_attn: 320 -> inner 512
+
+
+def test_kernel_big_weight_budget_c1280(monkeypatch):
+    """The ds32/ds64 shape (heads=20, C=1280) exceeds the default resident-
+    weight budget; raising CAMC2V_TEMPORAL_MAX_WEIGHT_MB admits it and the
+    kernel stays exact vs the XLA twin (the TPU A/B routes those sites)."""
+    n, t, c, heads, d = 16, 16, 1280, 20, 64
+    assert not ta.supported(n, t, c, c, heads, d)
+    monkeypatch.setenv("CAMC2V_TEMPORAL_MAX_WEIGHT_MB", "14")
+    assert ta.supported(n, t, c, c, heads, d)
+    x, wq, wk, wv, wo, bo = _mk(n, t, c, heads, d, c)
+    got = ta.fused_temporal_mha(x, wq, wk, wv, wo, bo, heads=heads)
+    want = _xla_reference(x, wq, wk, wv, wo, bo, heads)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=0.06, rtol=0.05,
+    )
