@@ -33,7 +33,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BLOCK_ROWS = 256
-_MAX_WEIGHT_BYTES = 8 * 1024 * 1024
+# Resident-weight budget: the default admits the C=320 FF sites; C=640 needs
+# 9.8 MB and C=1280 39.3 MB — raise via CAMC2V_FF_MAX_WEIGHT_MB to A/B
+# routing them through the kernel (the Mosaic vmem limit scales with it).
+_DEFAULT_MAX_WEIGHT_MB = 8.0
+
+
+def _max_weight_bytes() -> int:
+    import os
+
+    return int(float(os.environ.get(
+        "CAMC2V_FF_MAX_WEIGHT_MB", str(_DEFAULT_MAX_WEIGHT_MB))) * 1024 * 1024)
 
 _USE_FUSED: Optional[bool] = None
 
@@ -61,7 +71,7 @@ def supported(rows: int, c_in: int, inner: int, c_out: int) -> bool:
         return False
     if rows % _BLOCK_ROWS != 0 and rows % 128 != 0:
         return False
-    if (c_in * 2 * inner + inner * c_out) * 2 > _MAX_WEIGHT_BYTES:
+    if (c_in * 2 * inner + inner * c_out) * 2 > _max_weight_bytes():
         return False
     return True
 
@@ -123,6 +133,14 @@ def _fwd_impl(x, ls, lb, wp, bp, wf, bf, *, inner, eps):
     br = _BLOCK_ROWS if rows % _BLOCK_ROWS == 0 else 128
     interpret = jax.default_backend() == "cpu"
     kern = functools.partial(_kernel, inner=inner, eps=eps)
+    # big-C sites push double-buffered resident weights past Mosaic's 16 MB
+    # default — scale the limit with the actual footprint
+    weight_bytes = (wp.size + wf.size) * 2
+    vmem_limit = 2 * weight_bytes + 12 * 1024 * 1024
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",),
+        vmem_limit_bytes=vmem_limit if vmem_limit > 16 * 1024 * 1024 else None,
+    )
     return pl.pallas_call(
         kern,
         grid=(rows // br,),
@@ -137,7 +155,7 @@ def _fwd_impl(x, ls, lb, wp, bp, wf, bf, *, inner, eps):
         ],
         out_specs=pl.BlockSpec((br, c_out), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((rows, c_out), x.dtype),
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        compiler_params=compiler_params,
         interpret=interpret,
     )(x, ls.reshape(1, -1), lb.reshape(1, -1), wp, bp.reshape(1, -1), wf, bf.reshape(1, -1))
 

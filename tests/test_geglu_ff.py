@@ -108,3 +108,20 @@ def test_supported_gates():
     assert not gff.supported(100, 320, 1280, 320)    # rows not tileable
     assert not gff.supported(256, 640, 2560, 640)    # weights exceed VMEM budget
     assert not gff.supported(256, 96, 384, 96)       # channels too small
+
+
+def test_big_weight_budget_c640(monkeypatch):
+    """C=640 FF (9.8 MB resident weights) is rejected at the default budget
+    and admitted (exactly) at CAMC2V_FF_MAX_WEIGHT_MB=12 — the TPU A/B that
+    would route the ds16 FF sites through the kernel."""
+    rows, c = 256, 640
+    assert not gff.supported(rows, c, 4 * c, c)
+    monkeypatch.setenv("CAMC2V_FF_MAX_WEIGHT_MB", "12")
+    assert gff.supported(rows, c, 4 * c, c)
+    x, ls, lb, wp, bp, wf, bf = _mk(rows, c, seed=2)
+    got = gff.fused_ln_geglu_ff(x, ls, lb, wp, bp, wf, bf)
+    want = gff._ff_xla(x, ls, lb, wp, bp, wf, bf, inner=4 * c, eps=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=0.08, rtol=0.05,
+    )
