@@ -312,6 +312,12 @@ def build_train_config(cfg: dict, num_devices: int = 1) -> TrainConfig:
     precision = str(lightning.get("precision", "32") or "32")
     frozen_dtype = "bfloat16" if ("16" in precision and precision != "32") else None
 
+    # strategy mapping: deepspeed_stage_1 (the reference recipe) = sharded
+    # optimizer state only (always on); stage_2/3 or fsdp additionally shard
+    # the params themselves over `data` (the FSDP analogue).
+    strategy = str(lightning.get("strategy", "") or "")
+    shard_params = any(k in strategy for k in ("stage_2", "stage_3", "fsdp"))
+
     return TrainConfig(
         learning_rate=mnode.get("base_learning_rate", 1e-4),
         scale_lr=mnode.get("scale_lr", False),
@@ -320,6 +326,7 @@ def build_train_config(cfg: dict, num_devices: int = 1) -> TrainConfig:
         accumulate_grad_batches=lightning.get("accumulate_grad_batches", 1),
         use_ema=p.get("use_ema", False),
         trainable_patterns=tuple(patterns),
+        shard_params=shard_params,
         max_steps=lightning.get("max_steps", 50000),
         frozen_param_dtype=frozen_dtype,
     )

@@ -157,7 +157,8 @@ class Trainer:
             logger.info(f"resumed from step {int(state.step)}")
 
         if self.mesh is not None:
-            state = TR.shard_train_state(self.mesh, state)
+            state = TR.shard_train_state(self.mesh, state,
+                                         self.train_config.shard_params)
         rng = jax.random.key(self.seed)
 
         step = int(state.step)
@@ -165,6 +166,7 @@ class Trainer:
         step_fn = TR.make_sharded_train_step(
             self.model, self.train_config, self.mesh, loss_kwargs=current_flags,
             state=state if self.mesh is not None else None,
+            shard_params=self.train_config.shard_params,
         )
         metrics = {}
         while step < max_steps and not self._stop:
@@ -178,6 +180,7 @@ class Trainer:
                     step_fn = TR.make_sharded_train_step(
                         self.model, self.train_config, self.mesh, loss_kwargs=current_flags,
                         state=state if self.mesh is not None else None,
+                        shard_params=self.train_config.shard_params,
                     )
                 for cb in self.callbacks:
                     cb.on_train_batch_start(step)

@@ -12,8 +12,10 @@ configs/models/camcontexti2v_256.yaml:208, lvdm/common.py:8-14):
     all-gathers;
   * gradient all-reduce happens inside XLA via the sharded-batch jit.
 
-The mesh abstraction keeps FSDP-style parameter sharding one flag away
-(`shard_params=True` shards params like optimizer state).
+FSDP-style parameter sharding is `shard_params=True` on the trainer factories
+(trainer.py::make_sharded_train_step / shard_train_state; TrainConfig
+`shard_params`, mapped from a `deepspeed_stage_2`/`stage_3`/`fsdp` strategy in
+reference YAMLs): params/EMA shard like optimizer state, 1/N per chip.
 """
 
 from __future__ import annotations

@@ -49,6 +49,9 @@ class TrainConfig:
     # 16 GB chip next to the backward's 6 GB of temps. Compute is bf16 either
     # way; only fp32-stat upcasts of frozen weights see the (one-time) rounding.
     frozen_param_dtype: Optional[str] = None
+    # FSDP analogue: shard params/EMA over `data` like optimizer state
+    # (1/N param memory per chip; XLA inserts the per-use all-gathers)
+    shard_params: bool = False
     # lr scheduler: None | ("lambda_warmup", warmup_steps) | ("cosine", t_max, eta_min)
     lr_schedule: Optional[tuple] = None
     max_steps: int = 50000
@@ -191,28 +194,35 @@ def make_train_step(
     return train_step
 
 
-def train_state_shardings(mesh: Mesh, state: TrainState) -> TrainState:
-    """Sharding pytree for a TrainState: params/EMA/step replicated, optimizer
-    state ZeRO-1 sharded per-leaf over `data`."""
+def train_state_shardings(mesh: Mesh, state: TrainState,
+                          shard_params: bool = False) -> TrainState:
+    """Sharding pytree for a TrainState: optimizer state ZeRO-1 sharded
+    per-leaf over `data`; params/EMA replicated (default) or, with
+    `shard_params=True`, sharded like optimizer state — the FSDP analogue
+    (XLA's SPMD partitioner inserts the per-use all-gathers; memory for
+    params drops to 1/N per chip at the cost of gather traffic on ICI)."""
     rep = replicated(mesh)
-    rep_tree = lambda t: jax.tree_util.tree_map(lambda _: rep, t)
+    p_tree = ((lambda t: zero1_sharding(mesh, t)) if shard_params
+              else (lambda t: jax.tree_util.tree_map(lambda _: rep, t)))
     return TrainState(
-        params=rep_tree(state.params),
+        params=p_tree(state.params),
         opt_state=zero1_sharding(mesh, state.opt_state),
-        ema_params=rep_tree(state.ema_params) if state.ema_params is not None else None,
+        ema_params=p_tree(state.ema_params) if state.ema_params is not None else None,
         step=rep,
     )
 
 
-def shard_train_state(mesh: Mesh, state: TrainState) -> TrainState:
+def shard_train_state(mesh: Mesh, state: TrainState,
+                      shard_params: bool = False) -> TrainState:
     """Place a host TrainState onto the mesh per train_state_shardings."""
-    shardings = train_state_shardings(mesh, state)
+    shardings = train_state_shardings(mesh, state, shard_params)
     return jax.tree_util.tree_map(jax.device_put, state, shardings)
 
 
 def make_sharded_train_step(
     model, cfg: TrainConfig, mesh: Mesh, world_batch_scale: float = 1.0,
     loss_kwargs: Optional[dict] = None, state: Optional[TrainState] = None,
+    shard_params: bool = False,
 ):
     """jit the train step; the batch arrives sharded on `data` and XLA inserts
     the gradient psum over ICI.
@@ -225,7 +235,7 @@ def make_sharded_train_step(
     step = make_train_step(model, cfg, world_batch_scale, loss_kwargs)
     if state is None:
         return jax.jit(step, donate_argnums=(0,))
-    out_shardings = (train_state_shardings(mesh, state), replicated(mesh))
+    out_shardings = (train_state_shardings(mesh, state, shard_params), replicated(mesh))
     return jax.jit(step, donate_argnums=(0,), out_shardings=out_shardings)
 
 
