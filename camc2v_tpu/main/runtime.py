@@ -142,6 +142,7 @@ class Image2Video:
         ddim_steps: int = 25,
         sampler: str = "ddim",
         guidance_scale: float = 7.5,
+        cfg_interval: Optional[tuple] = None,
         camera_cfg: float = 1.0,
         trace_scale_factor: float = 1.0,
         save_name: Optional[str] = None,
@@ -202,6 +203,7 @@ class Image2Video:
                 ddim_steps=ddim_steps,
                 sampler=sampler,
                 guidance_scale=guidance_scale,
+                cfg_interval=cfg_interval,
                 camera_cfg=camera_cfg,
                 timestep_spacing="uniform_trailing",
                 guidance_rescale=0.7,

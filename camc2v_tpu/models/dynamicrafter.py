@@ -410,6 +410,7 @@ class DynamiCrafter:
         sampler: str = "ddim",
         guidance_scale: float = 7.5,
         guidance_rescale: float = 0.0,
+        cfg_interval: Optional[tuple[float, float]] = None,
         timestep_spacing: str = "uniform",
         camera_cfg: float = 1.0,
         camera_cfg_scheduler: str = "constant",
@@ -471,6 +472,7 @@ class DynamiCrafter:
             guidance_rescale=guidance_rescale,
             camera_cfg=camera_cfg,
             camera_cfg_scheduler=camera_cfg_scheduler,
+            cfg_interval=cfg_interval,
         )
 
         options = SamplerOptions(
@@ -554,6 +556,7 @@ class DynamiCrafter:
         guidance_rescale: float = 0.0,
         camera_cfg: float = 1.0,
         camera_cfg_scheduler: str = "constant",
+        cfg_interval: Optional[tuple[float, float]] = None,
     ):
         """Build the guided denoiser closure for the sampler.
 
@@ -562,12 +565,21 @@ class DynamiCrafter:
         shapes match, the cond+uncond pair runs as ONE batch-2B UNet launch
         (better MXU utilisation than two sequential launches — the uncond pass
         shares c_concat and camera payload, so stacking is exact).
+
+        `cfg_interval=(lo, hi)` (t-space, 0..999) restricts guidance to steps
+        whose timestep falls inside [lo, hi]; outside, the step runs the
+        conditional eval only (no uncond/camera-uncond passes — a `lax.cond`
+        picks the program per step inside the scan). Guidance-truncation
+        serving knob (Kynkäänniemi et al. 2024); NOT a reference feature —
+        default None reproduces reference CFG exactly.
         """
         import math as _math
 
         from camc2v_tpu.core.schedules import rescale_noise_cfg
 
         b = cond["c_concat"].shape[0]
+        cond_entry = cond  # pre-fusion cond (full epi penalties) for the
+        # uncond-free branch of cfg_interval
         if uc is None or guidance_scale == 1.0:
             return lambda x, t: self.apply_model(params, x, t, cond, fs)
 
@@ -650,4 +662,16 @@ class DynamiCrafter:
                 combined = rescale_noise_cfg(combined, e_c, guidance_rescale)
             return combined
 
-        return model_out_fn
+        if cfg_interval is None:
+            return model_out_fn
+
+        lo, hi = cfg_interval
+
+        def cond_only_fn(x, t):
+            return self.apply_model(params, x, t, cond_entry, fs)
+
+        def gated_fn(x, t):
+            inside = jnp.logical_and(t[0] >= lo, t[0] <= hi)
+            return jax.lax.cond(inside, model_out_fn, cond_only_fn, x, t)
+
+        return gated_fn

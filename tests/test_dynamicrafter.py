@@ -136,3 +136,44 @@ def test_dpmpp_sample_end_to_end(model_and_params):
         ddim_steps=4, guidance_scale=7.5, sampler="dpmpp_2m", decode=False,
     )
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_cfg_interval_full_matches_plain_cfg(model_and_params):
+    """cfg_interval spanning every timestep is the identity on the CFG path.
+
+    Not bit-exact: the lax.cond wrapper moves XLA fusion boundaries around the
+    denoiser, so identical math compiles to slightly different op orders
+    (~1e-6 noise over 3 steps).
+    """
+    model, params = model_and_params
+    kw = dict(ddim_steps=3, guidance_scale=7.5, guidance_rescale=0.7, decode=False)
+    ref = model.sample(params, _batch(), jax.random.key(5), **kw)
+    gated = model.sample(params, _batch(), jax.random.key(5), cfg_interval=(0.0, 999.0), **kw)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(gated), atol=1e-5, rtol=1e-4)
+
+
+def test_cfg_interval_empty_matches_cond_only(model_and_params):
+    """An interval excluding every timestep degenerates to the cond-only eval
+    (identical latents to guidance_scale=1.0 given the same noise draws)."""
+    model, params = model_and_params
+    kw = dict(ddim_steps=3, ddim_eta=0.0, decode=False)
+    ref = model.sample(params, _batch(), jax.random.key(6), guidance_scale=1.0, **kw)
+    gated = model.sample(
+        params, _batch(), jax.random.key(6),
+        guidance_scale=7.5, cfg_interval=(-2.0, -1.0), **kw,
+    )
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(gated), atol=1e-5)
+
+
+def test_cfg_interval_partial_differs_and_jits(model_and_params):
+    model, params = model_and_params
+    kw = dict(ddim_steps=4, guidance_scale=7.5, decode=False)
+
+    @jax.jit
+    def run(p, b, key):
+        return model.sample(p, b, key, cfg_interval=(300.0, 999.0), **kw)
+
+    gated = run(params, _batch(), jax.random.key(7))
+    full = model.sample(params, _batch(), jax.random.key(7), **kw)
+    assert np.isfinite(np.asarray(gated)).all()
+    assert not np.allclose(np.asarray(gated), np.asarray(full))
