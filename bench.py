@@ -89,7 +89,11 @@ def bench_unet(n_iters: int, inner_steps: int = 10):
     shapes = jax.eval_shape(lambda: unet.init(jax.random.key(0), x, t, ctx, fs, camera))
     params = _realized_params(shapes)
 
-    def looped_fn(p, x0):
+    # Everything is a jit ARGUMENT: closed-over arrays are inlined into the
+    # serialized HLO as literals, and with CAMC2V_EPI_PRECOMP=1 the camera
+    # payload carries ~1.1 GB of penalty tiles — the remote-compile tunnel
+    # rejects the request with HTTP 413 (r3i unet_precomp failure).
+    def looped_fn(p, x0, t, ctx, fs, camera):
         def body(_, xc):
             out = unet.apply(p, xc, t, ctx, fs, camera)  # (B, T, h, w, 4)
             return jnp.concatenate([out.astype(xc.dtype), xc[..., 4:]], axis=-1)
@@ -97,13 +101,17 @@ def bench_unet(n_iters: int, inner_steps: int = 10):
         return jax.lax.fori_loop(0, inner_steps, body, x0)
 
     looped = jax.jit(looped_fn)
-    total_s = _time(looped, params, x, iters=n_iters)
+    total_s = _time(looped, params, x, t, ctx, fs, camera, iters=n_iters)
     step_s = total_s / inner_steps
 
     flops = None
+    import os
+
+    if os.environ.get("CAMC2V_BENCH_SKIP_FLOPS", "0") == "1":
+        return step_s, flops  # A/B queues: skip the second ~10-min remote compile
     try:
-        one = jax.jit(lambda p, x: unet.apply(p, x, t, ctx, fs, camera))
-        ca = one.lower(params, x).compile().cost_analysis()
+        one = jax.jit(lambda p, x, t, ctx, fs, camera: unet.apply(p, x, t, ctx, fs, camera))
+        ca = one.lower(params, x, t, ctx, fs, camera).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         flops = ca.get("flops")
     except Exception:

@@ -67,14 +67,6 @@ def main():
     cfg = camcontexti2v_256()
     model = CamContextI2V(cfg, dtype=jnp.bfloat16)
     shapes = jax.eval_shape(lambda: model.init_params(jax.random.key(0), (256, 256)))
-    # realized random weights (zeros flatter HBM compression); fp32 masters
-    rng = np.random.default_rng(0)
-    leaves, treedef = jax.tree_util.tree_flatten(shapes)
-    params = jax.tree_util.tree_unflatten(
-        treedef,
-        [jnp.asarray(rng.standard_normal(l.shape, dtype=np.float32) * 0.02, l.dtype)
-         for l in leaves],
-    )
 
     tr_cfg = TR.TrainConfig(
         trainable_patterns=(r"^adaptor/", r"^image_proj/", r"^zero_conv/"),
@@ -82,6 +74,26 @@ def main():
         learning_rate=1e-4,
         frozen_param_dtype=None if args.fp32_frozen else "bfloat16",
     )
+
+    # Realized random weights (zeros flatter HBM compression). Frozen leaves
+    # are cast to bf16 ON HOST before device transfer: materialising all
+    # 2852M params fp32 on the chip first (11.4 GB) and letting
+    # init_train_state cast afterwards peaks at ~17 GB and OOMs the 16 GB
+    # chip (r3i train_b1 failure — the error surfaced lazily at the next
+    # d2h sync as RESOURCE_EXHAUSTED).
+    rng = np.random.default_rng(0)
+    labels = TR.param_labels(shapes, tr_cfg.trainable_patterns)
+    frozen_dt = np.float32 if args.fp32_frozen else jnp.bfloat16
+
+    def realize(lab, l):
+        a = rng.standard_normal(l.shape, dtype=np.float32) * np.float32(0.02)
+        if np.issubdtype(l.dtype, np.floating):
+            dt = l.dtype if lab == "train" else frozen_dt
+        else:
+            dt = l.dtype
+        return jnp.asarray(np.asarray(a, dt))
+
+    params = jax.tree_util.tree_map(realize, labels, shapes)
     mesh = M.make_mesh(jax.devices()[:1])
     state = TR.init_train_state(tr_cfg, params)
     state = TR.shard_train_state(mesh, state)

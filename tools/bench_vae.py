@@ -31,9 +31,13 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--decode-only", action="store_true")
     ap.add_argument("--encode-only", action="store_true")
+    ap.add_argument("--cpu", action="store_true", help="host smoke (forces the CPU backend)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from camc2v_tpu.nn.vae import AutoencoderKL
@@ -57,24 +61,36 @@ def main():
     z_hw = img // 8
     z = jnp.asarray(rng.normal(size=(n, z_hw, z_hw, cfg.z_channels)), jnp.float32)
 
-    enc = jax.jit(lambda p, f: vae.apply({"params": p}, f, method=vae.encode))
-    dec = jax.jit(lambda p, z_: vae.apply({"params": p}, z_, method=vae.decode))
+    # Time a CHAINED fori_loop inside ONE jit, like bench.py: isolated jit
+    # dispatches through the remote tunnel return async handles whose
+    # wall-clock does not reflect device time (the first cut of this bench
+    # reported a physically impossible 0.22 ms encode that way). The loop
+    # carries a data dependency (mean of the output folded into the next
+    # input at 1e-12 scale) so XLA cannot parallelise or DCE the iterations.
+    inner = 8
 
-    def timeit(fn, *a):
-        out = fn(*a)
-        jax.block_until_ready(out)
+    def chained(method, x0):
+        def run(p, xc):
+            def body(_, carry):
+                out = vae.apply({"params": p}, carry, method=method)
+                return carry + (jnp.mean(out) * 1e-12).astype(carry.dtype)
+
+            return jax.lax.fori_loop(0, inner, body, xc)
+
+        fn = jax.jit(run)
+        jax.block_until_ready(fn(params, x0))  # compile + warm
         ts = []
         for _ in range(args.iters):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(*a))
+            jax.block_until_ready(fn(params, x0))
             ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+        return float(np.median(ts)) / inner
 
     results = {}
     if not args.decode_only:
-        results["encode_ms"] = timeit(enc, params, frames) * 1e3
+        results["encode_ms"] = chained(vae.encode, frames) * 1e3
     if not args.encode_only:
-        results["decode_ms"] = timeit(dec, params, z) * 1e3
+        results["decode_ms"] = chained(vae.decode, z) * 1e3
     import os
 
     results["gn_big4d"] = os.environ.get("CAMC2V_GN_BIG4D", "0")
