@@ -64,8 +64,19 @@ def _time(fn, *args, iters):
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        out = fn(*args)
+        jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
+    # Force a VALUE fetch: through the axon tunnel a failed remote execution
+    # (VMEM/HBM exhaustion inside a kernel) does NOT raise from
+    # block_until_ready — the error only surfaces on a host read. Without
+    # this, a crashed run times pure dispatch and reports a physically
+    # impossible number (r3i unet_budget "0.77 ms", r4c unet_precomp2
+    # "0.68 ms" on a 166 ms program).
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    probe = np.asarray(jax.device_get(leaf)).ravel()[:8]
+    if not np.all(np.isfinite(probe)):
+        raise RuntimeError(f"benchmark output is non-finite: {probe}")
     return float(np.median(times))
 
 

@@ -80,10 +80,17 @@ def main():
         fn = jax.jit(run)
         jax.block_until_ready(fn(params, x0))  # compile + warm
         ts = []
+        out = None
         for _ in range(args.iters):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(params, x0))
+            out = fn(params, x0)
+            jax.block_until_ready(out)
             ts.append(time.perf_counter() - t0)
+        # value fetch: failed remote executions through the axon tunnel only
+        # raise on host reads, not block_until_ready (see bench.py::_time)
+        probe = np.asarray(jax.device_get(out)).ravel()[:8]
+        if not np.all(np.isfinite(probe)):
+            raise RuntimeError(f"benchmark output is non-finite: {probe}")
         return float(np.median(ts)) / inner
 
     results = {}
