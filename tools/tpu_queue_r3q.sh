@@ -1,0 +1,64 @@
+#!/bin/bash
+# Round-3 final A/B queue (r3q): pending epipolar kernel modes + flagship
+# train step + e2e with the winning config. Items run SERIALLY (the axon
+# backend is single-claim); bench.py's internal probe/retry handles tunnel
+# outages (CAMC2V_BENCH_WAIT_S bounds the per-item outage wait).
+#
+# Usage: bash tools/tpu_queue_r3q.sh <outdir>
+set -u
+OUT=${1:-/tmp/r3q}
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+run() { # name, env..., -- cmd...
+  local name=$1; shift
+  local envs=()
+  while [ "$1" != "--" ]; do envs+=("$1"); shift; done
+  shift
+  if [ -s "$OUT/$name.json" ]; then echo "skip $name (done)"; return; fi
+  echo "=== $name: ${envs[*]} $* ==="
+  env CAMC2V_BENCH_SKIP_FLOPS=1 CAMC2V_BENCH_WAIT_S=1200 "${envs[@]}" \
+    "$@" >"$OUT/$name.out" 2>"$OUT/$name.err"
+  # bench prints ONE json line last
+  tail -1 "$OUT/$name.out" | grep '^{' >"$OUT/$name.json" || \
+    echo "FAILED $name (see $OUT/$name.err)"
+  cat "$OUT/$name.json" 2>/dev/null
+}
+
+# 1-3: epipolar kernel mode A/B (unet-only, chained-loop timing)
+run unet_kvres   CAMC2V_EPI_KV_RESIDENT=1 -- python bench.py --unet-only --iters 3
+run unet_precomp CAMC2V_EPI_PRECOMP=1     -- python bench.py --unet-only --iters 3
+run unet_both    CAMC2V_EPI_KV_RESIDENT=1 CAMC2V_EPI_PRECOMP=1 -- \
+    python bench.py --unet-only --iters 3
+
+# 4: flagship train step, bf16 frozen (VERDICT r2 #3)
+run train_b1 NOOP=1 -- python tools/bench_trainstep.py --batch 1 --accum 4 --steps 4
+
+# 5: pick the unet winner, run e2e with it
+best=$(python - "$OUT" <<'EOF'
+import json, sys, os, glob
+d = sys.argv[1]
+cands = {"": None, "CAMC2V_EPI_KV_RESIDENT=1": "unet_kvres",
+         "CAMC2V_EPI_PRECOMP=1": "unet_precomp",
+         "CAMC2V_EPI_KV_RESIDENT=1 CAMC2V_EPI_PRECOMP=1": "unet_both"}
+base = 165.84  # r3 ship unet step ms
+best_env, best_ms = "", base
+for env, name in cands.items():
+    if name is None: continue
+    p = os.path.join(d, name + ".json")
+    try:
+        v = json.load(open(p))["value"]
+    except Exception:
+        continue
+    if v < best_ms: best_env, best_ms = env, v
+print(best_env)
+EOF
+)
+echo "e2e winner env: '$best'"
+echo "$best" >"$OUT/winner.env"
+if [ -n "$best" ]; then
+  run e2e_winner $best -- python bench.py --iters 3
+else
+  run e2e_ship NOOP=1 -- python bench.py --iters 3
+fi
+echo "r3q queue complete"
