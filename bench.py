@@ -77,6 +77,12 @@ def _time(fn, *args, iters):
     probe = np.asarray(jax.device_get(leaf)).ravel()[:8]
     if not np.all(np.isfinite(probe)):
         raise RuntimeError(f"benchmark output is non-finite: {probe}")
+    # A crashed axon execution can also hand back ZERO-filled buffers, which
+    # pass the finite check (r3q unet_kvres: "0.79 ms" on a 166 ms program
+    # with an all-finite probe). With realized random weights an exactly-zero
+    # probe is impossible for a real run.
+    if np.all(probe == 0):
+        raise RuntimeError("benchmark output is all-zero: remote execution crashed")
     return float(np.median(times))
 
 

@@ -47,9 +47,12 @@ for env, name in cands.items():
     if name is None: continue
     p = os.path.join(d, name + ".json")
     try:
-        v = json.load(open(p))["value"]
+        v = json.load(open(p))["unet_step_ms"]
     except Exception:
         continue
+    # <50 ms on a ~166 ms program = crashed remote execution (zero buffers),
+    # not a win — see PERF.md r3q
+    if v < 50: continue
     if v < best_ms: best_env, best_ms = env, v
 print(best_env)
 EOF
