@@ -57,33 +57,15 @@ def _realized_params(shapes, seed=0):
 
 
 def _time(fn, *args, iters):
-    import jax
+    # timed() forces a strided VALUE fetch after the loop: through the axon
+    # tunnel a failed remote execution (VMEM/HBM exhaustion inside a kernel)
+    # does NOT raise from block_until_ready — it hands back zero-filled
+    # buffers and a naive harness times pure dispatch, reporting a physically
+    # impossible number (r3q unet_kvres "0.79 ms" on a 166 ms program).
+    from camc2v_tpu.utils.tpubench import timed
 
-    out = fn(*args)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    # Force a VALUE fetch: through the axon tunnel a failed remote execution
-    # (VMEM/HBM exhaustion inside a kernel) does NOT raise from
-    # block_until_ready — the error only surfaces on a host read. Without
-    # this, a crashed run times pure dispatch and reports a physically
-    # impossible number (r3i unet_budget "0.77 ms", r4c unet_precomp2
-    # "0.68 ms" on a 166 ms program).
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    probe = np.asarray(jax.device_get(leaf)).ravel()[:8]
-    if not np.all(np.isfinite(probe)):
-        raise RuntimeError(f"benchmark output is non-finite: {probe}")
-    # A crashed axon execution can also hand back ZERO-filled buffers, which
-    # pass the finite check (r3q unet_kvres: "0.79 ms" on a 166 ms program
-    # with an all-finite probe). With realized random weights an exactly-zero
-    # probe is impossible for a real run.
-    if np.all(probe == 0):
-        raise RuntimeError("benchmark output is all-zero: remote execution crashed")
-    return float(np.median(times))
+    t, _ = timed(fn, *args, iters=iters)
+    return t
 
 
 def bench_unet(n_iters: int, inner_steps: int = 10):
@@ -201,103 +183,11 @@ def bench_tiny():
     return time.perf_counter() - t0
 
 
-_RETRY_ENV = "CAMC2V_BENCH_ATTEMPT"
-_WAIT_FLAG_ENV = "CAMC2V_BENCH_WAITING"   # set before re-exec: probe at startup
-_WAITED_ENV = "CAMC2V_BENCH_WAITED_S"     # cumulative outage-wait across re-execs
-_WAIT_ENV = "CAMC2V_BENCH_WAIT_S"         # total outage budget (default 2 h)
-_MAX_ATTEMPTS = 3
-
-_PROBE_SRC = (
-    "import jax, jax.numpy as jnp; jax.devices(); "
-    "x = jnp.ones((8, 8)); (x @ x).block_until_ready()"
-)
-
-
-def _probe_tpu() -> bool:
-    """Cheap subprocess probe: True iff the axon backend inits and runs one op.
-
-    Runs out-of-process because a failed init poisons the in-process backend
-    cache (and during an outage init can hang for minutes — hence timeout).
-    """
-    import subprocess
-    import sys
-
-    try:
-        r = subprocess.run([sys.executable, "-c", _PROBE_SRC], timeout=300,
-                           stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
-
-
-def _retry_transient(exc: Exception):
-    """Re-exec the bench on transient remote-TPU failures.
-
-    The axon tunnel returns UNAVAILABLE / HTTP 500 / INTERNAL on backend init
-    or remote compile, and suffers multi-hour outages. On a transient error we
-    re-exec IMMEDIATELY (the axon backend is single-claim: execv closes this
-    process's tunnel sockets, so probes from the fresh process don't collide
-    with a claim the failed parent may still hold); the fresh process then
-    probe-waits in _wait_for_tpu() before touching the backend. Waiting out an
-    outage does not consume an attempt; failures while the tunnel answers
-    (e.g. flaky remote compile) are capped at _MAX_ATTEMPTS.
-    """
-    import os
-    import sys
-
-    msg = f"{type(exc).__name__}: {exc}"
-    transient = any(s in msg for s in (
-        "UNAVAILABLE", "Unable to initialize backend", "DEADLINE",
-        "INTERNAL", "HTTP 500", "Internal Server Error",
-    ))
-    attempt = int(os.environ.get(_RETRY_ENV, "0"))
-    if not transient or attempt >= _MAX_ATTEMPTS:
-        raise exc
-    print(f"bench: transient TPU failure (attempt {attempt + 1}/{_MAX_ATTEMPTS}): "
-          f"{msg[:300]} — re-exec + probe", file=sys.stderr, flush=True)
-    os.environ[_WAIT_FLAG_ENV] = "1"
-    os.execv(sys.executable, [sys.executable] + sys.argv)
-
-
-def _wait_for_tpu():
-    """Startup probe-wait of a re-exec'd bench (claim-free fresh process).
-
-    Budget = cumulative time spent waiting out outages across all re-execs
-    (CAMC2V_BENCH_WAIT_S, default 2 h) — time spent RUNNING never counts.
-    """
-    import os
-    import sys
-
-    os.environ.pop(_WAIT_FLAG_ENV, None)
-    attempt = int(os.environ.get(_RETRY_ENV, "0"))
-    waited = float(os.environ.get(_WAITED_ENV, "0") or 0)
-    budget = float(os.environ.get(_WAIT_ENV, "7200"))
-    if _probe_tpu():
-        # tunnel is up: the failure was a one-off (e.g. 500 mid-compile) —
-        # this DOES consume an attempt; brief pause before the retry
-        os.environ[_RETRY_ENV] = str(attempt + 1)
-        time.sleep(120)
-        return
-    print("bench: tunnel down — waiting for recovery "
-          f"({budget - waited:.0f} s of outage budget left)", file=sys.stderr, flush=True)
-    t0 = time.monotonic()
-    while True:
-        if waited + (time.monotonic() - t0) > budget:
-            print("bench: outage outlasted the wait budget — giving up",
-                  file=sys.stderr, flush=True)
-            sys.exit(3)
-        time.sleep(60)
-        if _probe_tpu():
-            break
-    os.environ[_WAITED_ENV] = str(waited + (time.monotonic() - t0))
-    print("bench: tunnel answering — resuming", file=sys.stderr, flush=True)
-
-
 def main():
-    import os
+    from camc2v_tpu.utils.tpubench import enable_compile_cache, maybe_wait_at_startup
 
-    if os.environ.get(_WAIT_FLAG_ENV):
-        _wait_for_tpu()
+    maybe_wait_at_startup()
+    enable_compile_cache()
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true", help="CPU smoke run (tiny config)")
@@ -322,7 +212,8 @@ def main():
         try:
             step_s, flops = bench_unet(args.iters)
         except Exception as e:  # noqa: BLE001
-            _retry_transient(e)
+            from camc2v_tpu.utils.tpubench import retry_transient
+            retry_transient(e)
         videos_per_min = 60.0 / (DDIM_STEPS * step_s)
         print(json.dumps({
             "metric": "unet_videos_per_min_per_chip_25step_ddim",
@@ -339,7 +230,8 @@ def main():
     try:
         batch_s = bench_e2e(args.iters, args.steps, args.batch, args.sampler)
     except Exception as e:  # noqa: BLE001
-        _retry_transient(e)
+        from camc2v_tpu.utils.tpubench import retry_transient
+        retry_transient(e)
         raise  # unreachable (retry re-execs or re-raises); keeps flow explicit
     video_s = batch_s / args.batch
     videos_per_min = 60.0 / video_s

@@ -53,6 +53,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    from camc2v_tpu.utils.tpubench import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
 
     if args.density_only:

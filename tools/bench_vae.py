@@ -35,6 +35,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    from camc2v_tpu.utils.tpubench import enable_compile_cache
+    enable_compile_cache()
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")

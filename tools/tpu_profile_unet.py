@@ -27,6 +27,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    from camc2v_tpu.utils.tpubench import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from camc2v_tpu.nn.unet3d import UNetModel
