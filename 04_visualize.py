@@ -23,10 +23,17 @@ import numpy as np
 
 def parse_args():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--models", nargs="+", required=True, help="name=config.yaml pairs")
+    ap.add_argument("--models", nargs="+", default=None, help="name=config.yaml pairs")
     ap.add_argument("--image", default=None)
     ap.add_argument("--prompt", default="")
     ap.add_argument("--trajectory", default=None, help="pose txt (w2c rows)")
+    ap.add_argument("--trajectory-name", default=None,
+                    help="named pose from --poses-json (e.g. 'zoom in', 'orbit left')")
+    ap.add_argument("--poses-json", default="configs/demo/camera_poses.json",
+                    help="name -> pose txt registry (reference configs/demo/camera_poses.json)")
+    ap.add_argument("--models-json", default=None,
+                    help="load model name=config pairs from a models.json "
+                         "(reference configs/demo/models.json) instead of --models")
     ap.add_argument("--model", default=None, help="model name to run (default: first)")
     ap.add_argument("--chunks", type=int, default=1, help="auto-regressive 16-frame chunks")
     ap.add_argument("--loop", action="store_true")
@@ -53,7 +60,14 @@ def build_engine(args):
     import jax.numpy as jnp
 
     setup_logger(None)
-    configs = dict(m.split("=", 1) for m in args.models)
+    if args.models_json:
+        import json
+
+        with open(args.models_json) as f:
+            configs = {name: spec["config_file"] for name, spec in json.load(f).items()}
+    else:
+        assert args.models, "--models or --models-json required"
+        configs = dict(m.split("=", 1) for m in args.models)
     engine = Image2Video(
         configs,
         result_dir=args.out,
@@ -64,6 +78,25 @@ def build_engine(args):
     return engine, configs
 
 
+def resolve_trajectory(args):
+    """--trajectory wins; --trajectory-name resolves through the
+    camera_poses.json registry (reference demo contract)."""
+    if args.trajectory:
+        return args.trajectory
+    if not args.trajectory_name:
+        return None
+    import json
+    import pathlib
+
+    with open(args.poses_json) as f:
+        registry = json.load(f)
+    rel = registry[args.trajectory_name]
+    p = pathlib.Path(rel)
+    if not p.is_absolute() and not p.exists():
+        p = pathlib.Path(args.poses_json).parent.parent.parent / rel
+    return str(p)
+
+
 def run_headless(args):
     import cv2
 
@@ -72,7 +105,8 @@ def run_headless(args):
     engine, configs = build_engine(args)
     assert args.image, "--image required in headless mode"
     img = cv2.cvtColor(cv2.imread(args.image), cv2.COLOR_BGR2RGB)
-    traj = load_trajectory_txt(args.trajectory) if args.trajectory else None
+    traj_path = resolve_trajectory(args)
+    traj = load_trajectory_txt(traj_path) if traj_path else None
     name = args.model or next(iter(configs))
     path = engine.get_image(
         name,
@@ -99,8 +133,24 @@ def run_gradio(args):
 
     engine, configs = build_engine(args)
 
-    def generate(model_name, image, prompt, traj_file, chunks, loop, cfg_scale, camera_cfg):
-        traj = load_trajectory_txt(traj_file.name) if traj_file else None
+    import json
+
+    pose_names = ["(none)"]
+    pose_registry = {}
+    try:
+        with open(args.poses_json) as f:
+            pose_registry = json.load(f)
+        pose_names += list(pose_registry)
+    except OSError:
+        pass
+
+    def generate(model_name, image, prompt, pose_name, traj_file, chunks, loop, cfg_scale, camera_cfg):
+        if traj_file:
+            traj = load_trajectory_txt(traj_file.name)
+        elif pose_name and pose_name != "(none)":
+            traj = load_trajectory_txt(pose_registry[pose_name])
+        else:
+            traj = None
         return engine.get_image(
             model_name, np.asarray(image), prompt, trajectory=traj,
             num_chunks=int(chunks), loop=bool(loop),
@@ -117,12 +167,13 @@ def run_gradio(args):
             image = gr.Image(label="reference frame")
             with gr.Column():
                 prompt = gr.Textbox(label="prompt")
-                traj_file = gr.File(label="camera pose txt")
+                pose_name = gr.Dropdown(pose_names, value="(none)", label="camera pose")
+                traj_file = gr.File(label="camera pose txt (overrides)")
                 cfg_scale = gr.Slider(1.0, 15.0, 7.5, label="CFG scale")
                 camera_cfg = gr.Slider(1.0, 3.0, 1.0, label="camera CFG")
                 btn = gr.Button("Generate")
         out = gr.Video(label="generated")
-        btn.click(generate, [model_name, image, prompt, traj_file, chunks, loop, cfg_scale, camera_cfg], out)
+        btn.click(generate, [model_name, image, prompt, pose_name, traj_file, chunks, loop, cfg_scale, camera_cfg], out)
     demo.launch()
 
 

@@ -226,7 +226,8 @@ def build_model_from_config(cfg: dict, dtype=None):
         rand_cond_frame=p.get("rand_cond_frame", False),
         fps_condition_type=p.get("fps_condition_type", "fs"),
         use_dynamic_rescale=p.get("use_dynamic_rescale", False),
-        base_scale=p.get("base_scale", 1.0),
+        base_scale=p.get("base_scale", 0.7),
+        turning_step=p.get("turning_step", 400),
         perframe_ae=p.get("perframe_ae", False),
         interp_mode=p.get("interp_mode", False),
     )

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Literal
+from typing import Literal, Optional
 
 import jax
 import jax.numpy as jnp
@@ -286,6 +286,11 @@ class DDIMSchedule:
     alphas_prev: jax.Array
     sqrt_one_minus_alphas: jax.Array
     sigmas: jax.Array
+    # dynamic-rescale tables (use_dynamic_rescale models; reference:
+    # samplers/ddim.py:31-33): scale_arr[i] = model scale_arr at timesteps[i],
+    # scale_arr_prev shifted by one DDIM step. None when rescale is off.
+    scale_arr: Optional[jax.Array] = None
+    scale_arr_prev: Optional[jax.Array] = None
 
     @property
     def num_steps(self) -> int:
@@ -298,15 +303,25 @@ class DDIMSchedule:
         num_steps: int,
         spacing: Literal["uniform", "uniform_trailing", "quad"] = "uniform",
         eta: float = 0.0,
+        scale_arr: Optional[jax.Array] = None,
     ) -> "DDIMSchedule":
         alphacums = np.asarray(schedule.alphas_cumprod, dtype=np.float64)
         ddim_ts = make_ddim_timesteps(spacing, num_steps, schedule.num_timesteps)
         sigmas, alphas, alphas_prev = make_ddim_sampling_parameters(alphacums, ddim_ts, eta)
         f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
+        sarr = sarr_prev = None
+        if scale_arr is not None:
+            # reference ddim.py:31-33: gather at the DDIM timesteps, prev is
+            # the same table shifted right with the first entry repeated
+            s = np.asarray(scale_arr, dtype=np.float64)[ddim_ts]
+            sarr = f32(s)
+            sarr_prev = f32(np.concatenate([s[:1], s[:-1]]))
         return cls(
             timesteps=jnp.asarray(ddim_ts, dtype=jnp.int32),
             alphas=f32(alphas),
             alphas_prev=f32(alphas_prev),
             sqrt_one_minus_alphas=f32(np.sqrt(1.0 - alphas)),
             sigmas=f32(sigmas),
+            scale_arr=sarr,
+            scale_arr_prev=sarr_prev,
         )

@@ -70,6 +70,21 @@ class CamContextI2VConfig(CamI2VConfig):
 class CamContextI2V(CamI2V):
     def __init__(self, config: CamContextI2VConfig, dtype=jnp.bfloat16):
         super().__init__(config, dtype=dtype)
+        if config.multi_cond_strategy == "pose_agent_enc":
+            # Reject loudly rather than half-run: this strategy is a
+            # NON-FUNCTIONAL stub in the reference — _get_multi_cond_func has
+            # no pose_agent_enc branch (falls through to a warning + identity
+            # lambda, camcontexti2v.py:642-644), self.pose_agent_enc is only
+            # ever None (:60), so the pose-guided CrossAttention forwards
+            # (modified_forwards.py:238-380) are never installed (:132 gate),
+            # and the kwargs call at :430 raises TypeError on the identity
+            # lambda. No pose-agent encoder class exists anywhere in the
+            # reference; selecting it crashes the reference on the first
+            # batch. See PARITY.md "known gaps".
+            raise NotImplementedError(
+                "multi_cond_strategy='pose_agent_enc' is a non-functional stub "
+                "in the reference (crashes there on first use); not rebuilt"
+            )
         self.adaptor = None
         if config.multi_cond_strategy in ("token_concat_latent", "token_concat_latent_epipolar"):
             a = config.adaptor

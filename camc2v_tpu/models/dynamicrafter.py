@@ -92,7 +92,8 @@ class DynamiCrafterConfig:
     loss_type: str = "l2"
     noise_strength: float = 0.0
     use_dynamic_rescale: bool = False
-    base_scale: float = 1.0
+    base_scale: float = 0.7
+    turning_step: int = 400
     # conditioning
     uncond_prob: float = 0.05
     uncond_type: str = "empty_seq"
@@ -136,8 +137,17 @@ class DynamiCrafter:
             parameterization=config.parameterization,
         )
         if config.use_dynamic_rescale:
-            # reference: ddpm3d.py scale_arr = linspace(base_scale, 1.0, T)
-            self.scale_arr = jnp.linspace(config.base_scale, 1.0, config.timesteps)
+            # reference ddpm3d.py:524-528: ramp 1.0 -> base_scale over the
+            # first turning_step timesteps, then constant base_scale (the
+            # concatenated tail is longer than num_timesteps but only the
+            # first num_timesteps entries are ever gathered)
+            import numpy as _np
+
+            ramp = _np.linspace(1.0, config.base_scale, config.turning_step)
+            rest = _np.full(config.timesteps, config.base_scale)
+            self.scale_arr = jnp.asarray(
+                _np.concatenate([ramp, rest])[: config.timesteps], jnp.float32
+            )
         else:
             self.scale_arr = None
 
@@ -178,7 +188,19 @@ class DynamiCrafter:
         """
         b, t, hh, ww, c = video.shape
         frames = video.reshape(b * t, hh, ww, c)
-        moments = self.vae.apply({"params": params["vae"]}, frames, method=self.vae.encode)
+        if self.config.perframe_ae:
+            # reference ddpm3d.py:633-641: frame-at-a-time VAE to bound peak
+            # memory (the 512+ recipes enable it). TPU-native form: a
+            # sequential lax.map inside the same jit — XLA allocates one
+            # frame's activations instead of B*T of them; numerics identical.
+            moments = jax.lax.map(
+                lambda fr: self.vae.apply(
+                    {"params": params["vae"]}, fr[None], method=self.vae.encode
+                )[0],
+                frames,
+            )
+        else:
+            moments = self.vae.apply({"params": params["vae"]}, frames, method=self.vae.encode)
         z = D.mode(moments) if rng is None else D.sample(moments, rng)
         z = z * self.config.scale_factor
         return z.reshape(b, t, *z.shape[1:]).astype(jnp.float32)
@@ -186,7 +208,16 @@ class DynamiCrafter:
     def decode_first_stage(self, params: dict, z: jax.Array) -> jax.Array:
         b, t = z.shape[:2]
         zf = z.reshape(b * t, *z.shape[2:]) / self.config.scale_factor
-        x = self.vae.apply({"params": params["vae"]}, zf, method=self.vae.decode)
+        if self.config.perframe_ae:
+            # reference ddpm3d.py:657-663 (see encode_first_stage)
+            x = jax.lax.map(
+                lambda fr: self.vae.apply(
+                    {"params": params["vae"]}, fr[None], method=self.vae.decode
+                )[0],
+                zf,
+            )
+        else:
+            x = self.vae.apply({"params": params["vae"]}, zf, method=self.vae.decode)
         return x.reshape(b, t, *x.shape[1:]).astype(jnp.float32)
 
     # --------------------------------------------------------- conditioning
@@ -419,6 +450,9 @@ class DynamiCrafter:
         trace_scale_factor: float = 1.0,
         paste_cond_frame: bool = False,
         num_overlap: int = 0,
+        blend_mask: Optional[jax.Array] = None,
+        blend_x0: Optional[jax.Array] = None,
+        clean_cond: bool = False,
         negative_prompt_tokens: Optional[jax.Array] = None,
         decode: bool = True,
         return_cond: bool = False,
@@ -458,7 +492,10 @@ class DynamiCrafter:
                 cam["epi_prep"], epi_cfg, cfg.video_length
             )
 
-        ddim = DDIMSchedule.create(self.schedule, ddim_steps, timestep_spacing, ddim_eta)
+        ddim = DDIMSchedule.create(
+            self.schedule, ddim_steps, timestep_spacing, ddim_eta,
+            scale_arr=self.scale_arr,
+        )
         x_T = jax.random.normal(pkey, z.shape, jnp.float32)
 
         uc = (
@@ -479,11 +516,20 @@ class DynamiCrafter:
             parameterization=cfg.parameterization,
             paste_cond_frame=paste_cond_frame,
             num_overlap=num_overlap,
+            clean_cond=clean_cond,
         )
+        extra = {}
+        if blend_mask is not None:
+            # reference `mask`/`x0` args (samplers/ddim.py:133-180): per-pixel
+            # inpainting blend re-imposed every step (dpmpp lacks the blend —
+            # it is a DDIM-loop reference feature)
+            extra = {"blend_mask": blend_mask, "blend_x0": blend_x0}
         if sampler == "ddim":
             sample_fn = ddim_sample
         elif sampler in ("dpmpp_2m", "dpmpp"):
             sample_fn = dpmpp_2m_sample  # deterministic; ddim_eta is ignored
+            if extra:
+                raise ValueError("blend_mask/blend_x0 requires sampler='ddim'")
         else:
             raise ValueError(f"unknown sampler {sampler!r} (ddim | dpmpp_2m)")
         samples = sample_fn(
@@ -495,6 +541,7 @@ class DynamiCrafter:
             schedule=self.schedule,
             origin_z0=cond["origin_z0"],
             cond_frame_index=cond["c_cond_frame_index"],
+            **extra,
         )
         out = self.decode_first_stage(params, samples) if decode else samples
         if return_cond:

@@ -46,6 +46,10 @@ class SamplerOptions:
     # clean scene latents each iteration
     noise_shaping: bool = False
     noise_shaping_min_t: int = 600
+    # generic mask/x0 latent blend (reference: samplers/ddim.py:173-180):
+    # each step re-imposes x0 on the masked region, either noised to the
+    # current timestep (clean_cond=False) or clean (clean_cond=True)
+    clean_cond: bool = False
 
 
 def ddim_sample(
@@ -60,6 +64,8 @@ def ddim_sample(
     cond_frame_index: Optional[jax.Array] = None,
     scene_frames: Optional[jax.Array] = None,
     scene_mask: Optional[jax.Array] = None,
+    blend_mask: Optional[jax.Array] = None,
+    blend_x0: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Run the full DDIM trajectory from x_T.
 
@@ -73,6 +79,10 @@ def ddim_sample(
       origin_z0: clean latents for paste_cond_frame / paste_overlap_frames
         surgery (reference: samplers/ddim.py:182-235).
       cond_frame_index: (B,) index of the conditioning frame.
+      blend_mask/blend_x0: per-pixel inpainting blend — each step re-imposes
+        blend_x0 on blend_mask==1 regions, noised to the current timestep
+        unless options.clean_cond (reference `mask`/`x0` args,
+        samplers/ddim.py:173-180; any shape broadcastable to x).
 
     Returns: final denoised latents (B, T, h, w, C).
     """
@@ -83,7 +93,11 @@ def ddim_sample(
 
     if opt.num_overlap > 0 or opt.paste_cond_frame:
         assert origin_z0 is not None, "latent surgery needs origin_z0"
-    if opt.num_overlap > 0 or opt.parameterization == "v" or opt.noise_shaping:
+    if blend_mask is not None:
+        assert blend_x0 is not None, "blend_mask needs blend_x0 (reference ddim.py:175)"
+    if opt.num_overlap > 0 or opt.parameterization == "v" or opt.noise_shaping or (
+        blend_mask is not None and not opt.clean_cond
+    ):
         assert schedule is not None, "this sampler configuration needs the full DiffusionSchedule"
     if opt.noise_shaping:
         assert scene_mask is not None, "noise_shaping needs scene_mask"
@@ -98,10 +112,20 @@ def ddim_sample(
 
     def body(carry, idx):
         x, key = carry
-        key, nkey, okey = jax.random.split(key, 3)
+        key, nkey, okey, bkey = jax.random.split(key, 4)
         i = S - 1 - idx  # descending through the ddim table
         step = ddim.timesteps[i]
         t = jnp.full((b,), step, dtype=jnp.int32)
+
+        if blend_mask is not None:
+            # reference ddim.py:173-180: keep the original where masked
+            if opt.clean_cond:
+                img_orig = blend_x0
+            else:
+                img_orig = q_sample(
+                    schedule, blend_x0, t, jax.random.normal(bkey, blend_x0.shape, x.dtype)
+                )
+            x = img_orig * blend_mask + (1.0 - blend_mask) * x
 
         if opt.num_overlap > 0:
             # re-noise the overlap frames from the clean latents each step
@@ -123,6 +147,11 @@ def ddim_sample(
         else:
             e_t = model_output
             pred_x0 = (x - ddim.sqrt_one_minus_alphas[i] * e_t) / jnp.sqrt(ddim.alphas[i])
+
+        if ddim.scale_arr is not None:
+            # dynamic rescale (reference ddim.py:316-320): undo one step of
+            # the train-time scale_arr ramp applied in p_losses
+            pred_x0 = pred_x0 * (ddim.scale_arr_prev[i] / ddim.scale_arr[i])
 
         if opt.paste_cond_frame:
             pred_x0 = jnp.where(cond_sel, origin_z0, pred_x0)
@@ -222,6 +251,9 @@ def dpmpp_2m_sample(
             pred_x0 = predict_start_from_z_and_v(schedule, x, t, model_output)
         else:
             pred_x0 = (x - ddim.sqrt_one_minus_alphas[i] * model_output) / jnp.sqrt(ddim.alphas[i])
+
+        if ddim.scale_arr is not None:
+            pred_x0 = pred_x0 * (ddim.scale_arr_prev[i] / ddim.scale_arr[i])
 
         if opt.paste_cond_frame:
             pred_x0 = jnp.where(cond_sel, origin_z0, pred_x0)

@@ -137,7 +137,17 @@ class CrossAttention(nn.Module):
         k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
         v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
 
-        split = lambda t: t.reshape(t.shape[0], t.shape[1], h, d)
+        # under a (data, model) TP trace, pin (batch=data, heads=model) here:
+        # without the constraint XLA batch-shards the qkv dots and pays an
+        # involuntary full rematerialization at every head-split reshape
+        from camc2v_tpu.parallel.tp import constrain_heads, constrain_merged
+
+        # constrain BOTH sides of the head-split reshape: pinning only the
+        # (N, L, H, D) side still reshards THROUGH the reshape when the dot
+        # lands batch-sharded, which is the very remat warning being fixed
+        split = lambda t: constrain_heads(
+            constrain_merged(t).reshape(t.shape[0], t.shape[1], h, d)
+        )
         qh, kh, vh = split(q), split(k), split(v)
 
         bias = None
@@ -169,7 +179,7 @@ class CrossAttention(nn.Module):
             out2 = jnp.einsum("bhqk,qkd->bqhd", probs, v2)
             out = out + out2.astype(out.dtype)
 
-        out = out.reshape(out.shape[0], out.shape[1], inner)
+        out = constrain_merged(constrain_heads(out).reshape(out.shape[0], out.shape[1], inner))
 
         if ctx_img is not None:
             k_ip = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k_ip")(ctx_img)
@@ -178,7 +188,9 @@ class CrossAttention(nn.Module):
             if ctx_img_mask is not None:
                 ip_mask = ctx_img_mask[:, None, None, :]  # (N, 1, 1, Lk)
             out_ip = dot_product_attention(qh, split(k_ip), split(v_ip), mask=ip_mask)
-            out_ip = out_ip.reshape(out.shape[0], out.shape[1], inner)
+            out_ip = constrain_merged(
+                constrain_heads(out_ip).reshape(out.shape[0], out.shape[1], inner)
+            )
             if self.image_cross_attention_scale_learnable:
                 alpha = self.param("alpha", nn.initializers.zeros_init(), (), jnp.float32)
                 out = out + self.image_cross_attention_scale * out_ip * (jnp.tanh(alpha) + 1.0)
@@ -547,6 +559,7 @@ class TemporalTransformer(nn.Module):
     depth: int = 1
     dropout: float = 0.0
     only_self_att: bool = True
+    context_dim: Optional[int] = None  # used only when only_self_att=False
     causal_attention: bool = False
     relative_position: bool = False
     temporal_length: Optional[int] = None
@@ -587,13 +600,29 @@ class TemporalTransformer(nn.Module):
         if camera is not None:
             cam_level = camera
 
+        block_ctx = None
+        if not self.only_self_att and context is not None:
+            # temporal cross-attention (reference attention.py:405-419):
+            # context arrives (B*T, L, D); pixel token-row k of batch j reads
+            # context[j, k // r] with r = hw // t (the reference's
+            # `repeat('t l con -> (t r) l con')` indexing). The causal mask is
+            # NOT applied on this path (reference passes no mask there).
+            hw = hh * ww
+            assert hw % t == 0, (
+                f"only_self_att=False needs t | h*w (reference repeat layout), got t={t} hw={hw}"
+            )
+            lctx, dctx = context.shape[-2:]
+            ctx5 = context.reshape(b, t, lctx, dctx)
+            block_ctx = jnp.repeat(ctx5, hw // t, axis=1).reshape(b * hw, lctx, dctx)
+            mask = None
+
         for i in range(self.depth):
             x = BasicTransformerBlock(
                 dim=inner,
                 n_heads=self.n_heads,
                 d_head=self.d_head,
                 dropout=self.dropout,
-                context_dim=None if self.only_self_att else None,
+                context_dim=None if self.only_self_att else self.context_dim,
                 relative_position=self.relative_position,
                 temporal_length=self.temporal_length,
                 is_temporal=True,
@@ -604,7 +633,8 @@ class TemporalTransformer(nn.Module):
                 pose_dim=self.pose_dim,
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(x, mask=mask, camera=cam_level, spatial_hw=(hh, ww), deterministic=deterministic)
+            )(x, context=block_ctx, mask=mask, camera=cam_level, spatial_hw=(hh, ww),
+              deterministic=deterministic)
 
         x = Dense(self.in_channels, zero_init=True, dtype=self.dtype, name="proj_out")(x)
         x = x.reshape(b, hh, ww, t, c).transpose(0, 3, 1, 2, 4)

@@ -141,6 +141,7 @@ class UNetModel(nn.Module):
                 d_head=d_head,
                 depth=cfg.transformer_depth,
                 only_self_att=cfg.temporal_selfatt_only,
+                context_dim=cfg.context_dim,
                 causal_attention=cfg.use_causal_attention,
                 relative_position=cfg.use_relative_position,
                 temporal_length=cfg.temporal_length,
@@ -178,6 +179,7 @@ class UNetModel(nn.Module):
                 d_head=cfg.num_head_channels,
                 depth=cfg.transformer_depth,
                 only_self_att=cfg.temporal_selfatt_only,
+                context_dim=cfg.context_dim,
                 causal_attention=False,
                 relative_position=cfg.use_relative_position,
                 temporal_length=cfg.temporal_length,
@@ -301,9 +303,15 @@ class UNetModel(nn.Module):
                 n, hh, ww, c = h.shape
                 t = n // b
                 h5 = h.reshape(b, t, hh, ww, c)
-                h5 = lift(lambda m, h_, cam_: m(h_, camera=cam_, deterministic=deterministic))(
-                    module, h5, camera_level
-                )
+                # the reference hands the same cross-attn context to temporal
+                # transformers; it is only consumed when only_self_att=False
+                # (openaimodel3d.py:36-48, attention.py:405-419)
+                tctx = None if module.only_self_att else context
+                h5 = lift(
+                    lambda m, h_, c_, cam_: m(
+                        h_, context=c_, camera=cam_, deterministic=deterministic
+                    )
+                )(module, h5, tctx, camera_level)
                 h = h5.reshape(n, hh, ww, c)
             else:  # downsample / upsample
                 h = module(h)
@@ -370,7 +378,8 @@ class UNetModel(nn.Module):
         if cfg.addition_attention:
             h5 = h.reshape(b, t, *h.shape[1:])
             init_cam = camera if cfg.camera_mode == "motionctrl" else None
-            h5 = self.init_attn(h5, camera=init_cam, deterministic=deterministic)
+            ictx = None if self.init_attn.only_self_att else context
+            h5 = self.init_attn(h5, context=ictx, camera=init_cam, deterministic=deterministic)
             h = h5.reshape(b * t, *h.shape[1:])
         hs.append(h)
 
@@ -422,7 +431,8 @@ class UNetModel(nn.Module):
         h = self.conv_in(h)
         if cfg.addition_attention:
             init_cam = camera if cfg.camera_mode == "motionctrl" else None
-            h5 = self.init_attn(h.reshape(b, t, *h.shape[1:]), camera=init_cam, deterministic=deterministic)
+            ictx = None if self.init_attn.only_self_att else context
+            h5 = self.init_attn(h.reshape(b, t, *h.shape[1:]), context=ictx, camera=init_cam, deterministic=deterministic)
             h = h5.reshape(b * t, *h.shape[1:])
         hs = [h]
         for i, layers in enumerate(self.input_blocks):

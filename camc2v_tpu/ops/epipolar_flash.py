@@ -77,8 +77,11 @@ def epipolar_lines(F: jax.Array, h: int, w: int, downsample: int) -> jax.Array:
     x = pix2coord(jnp.arange(w, dtype=jnp.float32), downsample)
     gy, gx = jnp.meshgrid(y, x, indexing="ij")
     grid = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1).reshape(h * w, 3)  # (hw, 3)
-    # l[b, s, q, t, :] = F[b, s, t] @ p_q
-    lines = jnp.einsum("bstij,qj->bsqti", F, grid)
+    # l[b, s, q, t, :] = F[b, s, t] @ p_q. HIGHEST: TPU einsum defaults to
+    # bf16 passes, which perturbs borderline mask bits relative to the
+    # kernel's exact f32 VPU distance math (r4a bisect: identical kernels
+    # "failed" a default-precision XLA reference at ds16 only on real TPUs)
+    lines = jnp.einsum("bstij,qj->bsqti", F, grid, precision=jax.lax.Precision.HIGHEST)
     norm = jnp.linalg.norm(lines[..., :2], axis=-1, keepdims=True)
     lines = lines / norm
     return lines.reshape(b, t1 * h * w, t2, 3)
@@ -690,6 +693,10 @@ def materialize_mask(lines: jax.Array, t: int, h: int, w: int, downsample: int) 
     x = pix2coord(jnp.arange(w, dtype=jnp.float32), downsample)
     gy, gx = jnp.meshgrid(y, x, indexing="ij")
     grid = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1).reshape(h * w, 3)
-    dist = jnp.abs(jnp.einsum("bqtc,kc->bqtk", lines, grid))
+    # HIGHEST: the backward recompute and the precomputed penalties must
+    # reproduce the forward kernel's exact-f32 mask bits on TPU (default
+    # einsum precision is bf16 there and flips borderline bits)
+    dist = jnp.abs(jnp.einsum("bqtc,kc->bqtk", lines, grid,
+                              precision=jax.lax.Precision.HIGHEST))
     thresh = downsample * math.sqrt(2.0) / 2.0
     return (dist < thresh).reshape(b, lq, t * h * w)

@@ -129,3 +129,22 @@ def test_collate_pads_and_flags(tmp_path):
     n = int(out["cond_frames_valid"][0].sum())
     assert 1 <= n <= 2
     assert (out["cond_frames"][:, n:] == 0).all()
+
+
+def test_pose_agent_enc_rejected_loudly():
+    """The reference's pose_agent_enc strategy is a non-functional stub
+    (PARITY.md 'intentionally not rebuilt'); selecting it must fail fast."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from camc2v_tpu.models.camcontexti2v import CamContextI2V
+
+    sys.path.append(str(pathlib.Path(__file__).parent / "oracle"))
+    import refload
+
+    cfg = dataclasses.replace(
+        refload.my_model("camcontext").config, multi_cond_strategy="pose_agent_enc"
+    )
+    with _pytest.raises(NotImplementedError, match="pose_agent_enc"):
+        CamContextI2V(cfg)

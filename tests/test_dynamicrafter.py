@@ -177,3 +177,26 @@ def test_cfg_interval_partial_differs_and_jits(model_and_params):
     full = model.sample(params, _batch(), jax.random.key(7), **kw)
     assert np.isfinite(np.asarray(gated)).all()
     assert not np.allclose(np.asarray(gated), np.asarray(full))
+
+
+def test_perframe_ae_matches_batched():
+    """perframe_ae chunks the VAE one frame at a time (reference
+    ddpm3d.py:622-669) with numerics identical to the batched path."""
+    import dataclasses
+
+    from camc2v_tpu.models.dynamicrafter import DynamiCrafter
+
+    cfg = tiny_config()
+    model = DynamiCrafter(cfg, dtype=jnp.float32)
+    params = model.init_params(jax.random.key(0), image_hw=(32, 32))
+    model_pf = DynamiCrafter(dataclasses.replace(cfg, perframe_ae=True), dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(rng.uniform(-1, 1, (1, 4, 32, 32, 3)), jnp.float32)
+    z = model.encode_first_stage(params, video)
+    z_pf = model_pf.encode_first_stage(params, video)
+    np.testing.assert_allclose(np.asarray(z_pf), np.asarray(z), rtol=1e-5, atol=1e-5)
+
+    x = model.decode_first_stage(params, z)
+    x_pf = model_pf.decode_first_stage(params, z)
+    np.testing.assert_allclose(np.asarray(x_pf), np.asarray(x), rtol=1e-5, atol=1e-5)

@@ -275,6 +275,77 @@ def test_ddim_step_parity(pairs):
     np.testing.assert_allclose(np.asarray(pred_x0), _tj(pred_x0_ref), rtol=5e-3, atol=5e-3)
 
 
+def test_dynamic_rescale_parity():
+    """use_dynamic_rescale tables + per-step pred_x0 rescale vs the reference.
+
+    reference: ddpm3d.py:523-528 (scale_arr build), samplers/ddim.py:31-33
+    (DDIM-step gather), :316-320 (pred_x0 *= prev_scale/scale in the loop).
+    """
+    import types
+
+    refload.load_reference()
+    from lvdm.models.samplers.ddim import DDIMSampler as RefDDIMSampler
+
+    ref = refload.build_ref_model("dynamicrafter")
+    # flip dynamic rescale on after construction exactly as the ctor would
+    # (ddpm3d.py:523-528); avoids rebuilding the whole tiny model
+    base_scale, turning_step = 0.7, 40
+    scale_arr1 = np.linspace(1.0, base_scale, turning_step)
+    scale_arr2 = np.full(ref.num_timesteps, base_scale)
+    ref.use_dynamic_rescale = True
+    ref.register_buffer("scale_arr", torch.tensor(
+        np.concatenate((scale_arr1, scale_arr2)), dtype=torch.float32))
+
+    sampler = RefDDIMSampler(ref)
+    sampler.register_buffer = types.MethodType(
+        lambda self, name, attr: setattr(self, name, attr), sampler
+    )
+    sampler.make_schedule(ddim_num_steps=5, ddim_discretize="uniform_trailing",
+                          ddim_eta=0.0, verbose=False)
+
+    import dataclasses
+
+    from camc2v_tpu.core.schedules import DDIMSchedule
+    from camc2v_tpu.models.dynamicrafter import DynamiCrafter
+
+    cfg = dataclasses.replace(
+        refload.my_model("dynamicrafter").config,
+        use_dynamic_rescale=True, base_scale=base_scale, turning_step=turning_step,
+    )
+    mine = DynamiCrafter(cfg)
+    # construction parity: my ctor ramp == the reference buffer (truncated to
+    # num_timesteps — the reference tail is never gathered)
+    np.testing.assert_allclose(
+        np.asarray(mine.scale_arr),
+        ref.scale_arr.numpy()[: ref.num_timesteps], rtol=0, atol=0)
+
+    ddim = DDIMSchedule.create(mine.schedule, 5, "uniform_trailing", 0.0,
+                               scale_arr=mine.scale_arr)
+    np.testing.assert_allclose(
+        np.asarray(ddim.scale_arr), sampler.ddim_scale_arr.numpy(), rtol=1e-6, atol=0)
+    np.testing.assert_allclose(
+        np.asarray(ddim.scale_arr_prev), sampler.ddim_scale_arr_prev.numpy(), rtol=1e-6, atol=0)
+
+    # one-step pred_x0 rescale (eta=0, fixed e_t) vs reference ddim.py:310-346
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 4, T, LAT, LAT)).astype(np.float32)
+    e_t = rng.normal(size=x.shape).astype(np.float32) * 0.1
+    index = 3
+    a_t = float(sampler.ddim_alphas[index])
+    sq1m = float(sampler.ddim_sqrt_one_minus_alphas[index])
+    a_prev = float(sampler.ddim_alphas_prev[index])
+    pred_x0_ref = (x - sq1m * e_t) / np.sqrt(a_t)
+    pred_x0_ref *= float(sampler.ddim_scale_arr_prev[index]) / float(sampler.ddim_scale_arr[index])
+    x_prev_ref = np.sqrt(a_prev) * pred_x0_ref + np.sqrt(1.0 - a_prev) * e_t
+
+    pred_x0 = (x - np.asarray(ddim.sqrt_one_minus_alphas)[index] * e_t) / np.sqrt(
+        np.asarray(ddim.alphas)[index])
+    pred_x0 = pred_x0 * (np.asarray(ddim.scale_arr_prev)[index] / np.asarray(ddim.scale_arr)[index])
+    x_prev = np.sqrt(np.asarray(ddim.alphas_prev)[index]) * pred_x0 + np.sqrt(
+        1.0 - np.asarray(ddim.alphas_prev)[index]) * e_t
+    np.testing.assert_allclose(x_prev, x_prev_ref, rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize(
     "variant",
     ["epipolar_hybrid_attention", "epipolar_hybrid_attention_v2",

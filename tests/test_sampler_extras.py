@@ -128,3 +128,57 @@ def test_dpmpp_latent_surgery_pins_frames():
         options=opts, schedule=SCHED, origin_z0=origin, cond_frame_index=cond_idx,
     )
     np.testing.assert_allclose(np.asarray(out[:, 0]), 0.7, rtol=1e-6)
+
+
+def test_dynamic_rescale_scan_product():
+    """zero-eps model + rescale tables: out = x * prod(sqrt(a_prev/a_t) * s_prev/s_t)."""
+    scale_full = np.linspace(1.0, 0.7, SCHED.num_timesteps).astype(np.float32)
+    ddim = DDIMSchedule.create(SCHED, 10, "uniform", eta=0.0, scale_arr=scale_full)
+    # table semantics: gather at ddim timesteps; prev = shifted right
+    s = scale_full[np.asarray(ddim.timesteps)]
+    np.testing.assert_allclose(np.asarray(ddim.scale_arr), s, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ddim.scale_arr_prev), np.concatenate([s[:1], s[:-1]]), rtol=1e-6)
+
+    out = ddim_sample(jax.random.key(0), ddim, jnp.ones(SHAPE), _zero_model)
+    expected = float(
+        np.prod(np.sqrt(np.asarray(ddim.alphas_prev) / np.asarray(ddim.alphas))
+                * np.asarray(ddim.scale_arr_prev) / np.asarray(ddim.scale_arr))
+    )
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4)
+
+
+def test_blend_mask_clean_cond():
+    """mask/x0 blend with clean_cond pins the masked region to the x0 update."""
+    x0 = jnp.full(SHAPE, 0.5)
+    mask = jnp.ones(SHAPE)
+    opts = SamplerOptions(clean_cond=True)
+    out = ddim_sample(
+        jax.random.key(0), DDIM, jnp.ones(SHAPE), _zero_model,
+        options=opts, blend_mask=mask, blend_x0=x0,
+    )
+    # every step starts from x=x0; only the LAST update survives:
+    # x_prev = sqrt(a_prev[0]/a_t[0]) * x0
+    expected = 0.5 * float(np.sqrt(np.asarray(DDIM.alphas_prev)[0] / np.asarray(DDIM.alphas)[0]))
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5)
+
+
+def test_blend_mask_zero_is_noop():
+    """blend with an all-zero mask must reproduce the unblended trajectory."""
+    x_T = jax.random.normal(jax.random.key(2), SHAPE)
+    base = ddim_sample(jax.random.key(0), DDIM, x_T, _zero_model)
+    blended = ddim_sample(
+        jax.random.key(0), DDIM, x_T, _zero_model,
+        schedule=SCHED, blend_mask=jnp.zeros(SHAPE), blend_x0=jnp.full(SHAPE, 3.0),
+    )
+    np.testing.assert_allclose(np.asarray(blended), np.asarray(base), rtol=1e-6)
+
+
+def test_blend_mask_noised_cond_finite():
+    """clean_cond=False path q_samples x0 each step (needs the full schedule)."""
+    out = ddim_sample(
+        jax.random.key(0), DDIM, jnp.ones(SHAPE), _zero_model,
+        schedule=SCHED,
+        blend_mask=jnp.zeros(SHAPE).at[:, 0].set(1.0), blend_x0=jnp.full(SHAPE, 0.5),
+    )
+    assert np.isfinite(np.asarray(out)).all()

@@ -175,3 +175,89 @@ def test_clip_attention_parity():
     }}
     out = ours.apply(params, jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_temporal_transformer_cross_attention_parity():
+    """only_self_att=False: temporal cross-attention vs the reference module
+    (lvdm/modules/attention.py:323-428, the `else` context branch :405-419).
+
+    Config-dead at flagship (temporal_selfatt_only: true everywhere), but the
+    mode must not silently degrade to self-attention (VERDICT r3 weak #4).
+    """
+    import pathlib
+    import sys
+
+    sys.path.append(str(pathlib.Path(__file__).parent / "oracle"))
+    import refload
+
+    refload.load_reference()
+    from lvdm.modules.attention import TemporalTransformer as RefTT
+
+    from camc2v_tpu.nn.attention import TemporalTransformer
+
+    C, heads, d_head, ctx_dim = 32, 2, 16, 8
+    b, t, hh, ww = 1, 4, 4, 4
+    torch.manual_seed(0)
+    ref = RefTT(C, heads, d_head, depth=1, context_dim=ctx_dim, use_checkpoint=False,
+                use_linear=True, only_self_att=False, temporal_length=t)
+    ref.eval()
+    # randomize so the zero-init proj_out contributes
+    sd = {k: torch.randn_like(v) * 0.1 for k, v in ref.state_dict().items()}
+    ref.load_state_dict(sd)
+
+    mine = TemporalTransformer(in_channels=C, n_heads=heads, d_head=d_head, depth=1,
+                               only_self_att=False, context_dim=ctx_dim,
+                               temporal_length=t, dtype=jnp.float32)
+
+    def k(name):
+        return jnp.asarray(sd[name].numpy().T if sd[name].ndim == 2 else sd[name].numpy())
+
+    params = {"params": {
+        "norm": {"GroupNorm_0": {"scale": k("norm.weight"), "bias": k("norm.bias")}},
+        "proj_in": {"kernel": k("proj_in.weight"), "bias": k("proj_in.bias")},
+        "proj_out": {"kernel": k("proj_out.weight"), "bias": k("proj_out.bias")},
+        "block_0": {
+            "norm1": {"LayerNorm_0": {"scale": k("transformer_blocks.0.norm1.weight"),
+                                      "bias": k("transformer_blocks.0.norm1.bias")}},
+            "norm2": {"LayerNorm_0": {"scale": k("transformer_blocks.0.norm2.weight"),
+                                      "bias": k("transformer_blocks.0.norm2.bias")}},
+            "norm3": {"LayerNorm_0": {"scale": k("transformer_blocks.0.norm3.weight"),
+                                      "bias": k("transformer_blocks.0.norm3.bias")}},
+            "attn1": {
+                "to_q": {"kernel": k("transformer_blocks.0.attn1.to_q.weight")},
+                "to_k": {"kernel": k("transformer_blocks.0.attn1.to_k.weight")},
+                "to_v": {"kernel": k("transformer_blocks.0.attn1.to_v.weight")},
+                "to_out": {"kernel": k("transformer_blocks.0.attn1.to_out.0.weight"),
+                           "bias": k("transformer_blocks.0.attn1.to_out.0.bias")},
+            },
+            "attn2": {
+                "to_q": {"kernel": k("transformer_blocks.0.attn2.to_q.weight")},
+                "to_k": {"kernel": k("transformer_blocks.0.attn2.to_k.weight")},
+                "to_v": {"kernel": k("transformer_blocks.0.attn2.to_v.weight")},
+                "to_out": {"kernel": k("transformer_blocks.0.attn2.to_out.0.weight"),
+                           "bias": k("transformer_blocks.0.attn2.to_out.0.bias")},
+            },
+            "ff": {
+                "geglu": {"proj": {"kernel": k("transformer_blocks.0.ff.net.0.proj.weight"),
+                                   "bias": k("transformer_blocks.0.ff.net.0.proj.bias")}},
+                "fc2": {"kernel": k("transformer_blocks.0.ff.net.2.weight"),
+                        "bias": k("transformer_blocks.0.ff.net.2.bias")},
+            },
+        },
+    }}
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(b, C, t, hh, ww)).astype(np.float32)
+    ctx = rng.normal(size=(b * t, 3, ctx_dim)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(x), context=torch.from_numpy(ctx)).numpy()
+
+    xj = jnp.asarray(x.transpose(0, 2, 3, 4, 1))  # (B, T, H, W, C)
+    got = mine.apply(params, xj, jnp.asarray(ctx))
+    got = np.asarray(got).transpose(0, 4, 1, 2, 3)
+    np.testing.assert_allclose(got, out_ref, rtol=1e-4, atol=2e-4)
+
+    # and the degenerate guard: context must actually change the output
+    got_noctx_params = mine.apply(params, xj, jnp.asarray(ctx * 0.0))
+    assert not np.allclose(np.asarray(got_noctx_params).transpose(0, 4, 1, 2, 3), out_ref,
+                           rtol=1e-4, atol=2e-4)

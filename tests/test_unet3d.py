@@ -103,3 +103,25 @@ def test_unet_jit_compiles_once():
     out1 = fwd(params, x, ts, ctx, fs)
     out2 = fwd(params, x * 2, ts, ctx, fs)
     assert out1.shape == out2.shape
+
+
+def test_unet_temporal_cross_attention_mode():
+    """temporal_selfatt_only=False threads the cross-attn context into every
+    temporal transformer (reference openaimodel3d.py:36-48 + attention.py:405-419);
+    the context must actually influence the output."""
+    cfg = UNetConfig(**{**TINY.__dict__, "temporal_selfatt_only": False})
+    model = UNetModel(cfg, dtype=jnp.float32)
+    x, ts, ctx, fs = _inputs(cfg)
+    params = model.init(jax.random.key(0), x, ts, ctx, fs)
+    # randomize: zero-init projections would make the context path inert
+    from util import perturb_zero_kernels
+
+    params = perturb_zero_kernels(params, jax.random.key(1))
+    out1 = model.apply(params, x, ts, ctx, fs)
+    out2 = model.apply(params, x, ts, ctx * 1.5, fs)
+    assert out1.shape == (B, T, H, W, 4)
+    assert np.isfinite(np.asarray(out1)).all()
+    assert not np.allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+    # temporal attn2 must carry context-sized kernels (not degrade to self-attn)
+    blk = params["params"]["init_attn"]["block_0"]["attn2"]
+    assert blk["to_k"]["kernel"].shape[0] == cfg.context_dim

@@ -59,8 +59,11 @@ EOF
 )
 echo "e2e winner env: '$best'"
 echo "$best" >"$OUT/winner.env"
+# name the result after the winner env so a rerun with a different winner
+# cannot silently reuse a stale measurement (ADVICE r3)
+tag=$(echo "$best" | tr -cd 'A-Z_=1' | tr '=' '-')
 if [ -n "$best" ]; then
-  run e2e_winner $best -- python bench.py --iters 3
+  run "e2e_winner_${tag}" $best -- python bench.py --iters 3
 else
   run e2e_ship NOOP=1 -- python bench.py --iters 3
 fi

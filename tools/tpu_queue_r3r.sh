@@ -12,6 +12,7 @@ if [ -n "$QPID" ]; then
 fi
 winner=$(cat "$OUT/winner.env" 2>/dev/null || true)
 echo "=== e2e profile (env: '$winner') ==="
+rm -rf /tmp/e2e_profile  # stale traces would corrupt the aggregation (ADVICE r3)
 env $winner python tools/tpu_profile_e2e.py --logdir /tmp/e2e_profile \
   >"$OUT/e2e_profile.out" 2>"$OUT/e2e_profile.err"
 python tools/xplane_groups.py /tmp/e2e_profile --iters 1 \
