@@ -38,6 +38,9 @@ class SamplerOptions:
     """Static sampling options (hashable; safe to close over under jit)."""
 
     temperature: float = 1.0
+    # dropout on the eta-noise (reference ddim.py:341-343; 0 in every shipped
+    # config — inverted-scaling torch.nn.functional.dropout semantics)
+    noise_dropout: float = 0.0
     parameterization: str = "eps"
     paste_cond_frame: bool = False
     num_overlap: int = 0  # paste_overlap_frames when > 0
@@ -162,6 +165,10 @@ def ddim_sample(
         sigma_t = ddim.sigmas[i]
         dir_xt = jnp.sqrt(jnp.clip(1.0 - a_prev - sigma_t**2, 0.0, None)) * e_t
         noise = sigma_t * jax.random.normal(nkey, x.shape, x.dtype) * opt.temperature
+        if opt.noise_dropout > 0:
+            key, dkey = jax.random.split(key)
+            keep = jax.random.bernoulli(dkey, 1.0 - opt.noise_dropout, x.shape)
+            noise = noise * keep / (1.0 - opt.noise_dropout)
         x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
         return (x_prev, key), None
 

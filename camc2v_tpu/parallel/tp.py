@@ -64,11 +64,16 @@ def activation_sharding(mesh: Optional[Mesh]):
         _TP_TRACE_MESH.reset(tok)
 
 
-def _tp_mesh() -> Optional[Mesh]:
+def _trace_mesh() -> tuple[Optional[Mesh], int]:
+    """(mesh, model_parallel) of the active trace; mp == 1 means a data-only
+    mesh (DP/FSDP), where activations are still pinned batch-over-data so the
+    partitioner cannot leak 1/N PARAM shardings into activation reshapes
+    (the FSDP gather-at-use pattern triggered the same involuntary-remat
+    diagnostics on the attention head splits)."""
     mesh = _TP_TRACE_MESH.get()
-    if mesh is None or MODEL_AXIS not in mesh.shape or mesh.shape[MODEL_AXIS] <= 1:
-        return None
-    return mesh
+    if mesh is None or DATA_AXIS not in mesh.shape:
+        return None, 1
+    return mesh, mesh.shape.get(MODEL_AXIS, 1)
 
 
 def constrain_heads(x: jax.Array, heads_axis: int = 2) -> jax.Array:
@@ -82,31 +87,32 @@ def constrain_heads(x: jax.Array, heads_axis: int = 2) -> jax.Array:
     No-op outside a `activation_sharding(mesh)` trace or when shapes do not
     divide the mesh axes.
     """
-    mesh = _tp_mesh()
+    mesh, mp = _trace_mesh()
     if mesh is None:
-        return x
-    if x.shape[heads_axis] % mesh.shape[MODEL_AXIS] != 0:
         return x
     if x.shape[0] % mesh.shape[DATA_AXIS] != 0:
         return x
     spec = [None] * x.ndim
     spec[0] = DATA_AXIS
-    spec[heads_axis] = MODEL_AXIS
+    if mp > 1 and x.shape[heads_axis] % mp == 0:
+        spec[heads_axis] = MODEL_AXIS
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
 
 
 def constrain_merged(x: jax.Array) -> jax.Array:
     """(N, L, H*D) merged-heads constraint: last axis on `model`, so the
     row-parallel to_out dot contracts a sharded axis (psum at the boundary)
-    instead of re-gathering the merged activation."""
-    mesh = _tp_mesh()
+    instead of re-gathering the merged activation. On data-only meshes the
+    constraint pins plain batch-over-data (see _trace_mesh)."""
+    mesh, mp = _trace_mesh()
     if mesh is None:
         return x
-    if x.shape[-1] % mesh.shape[MODEL_AXIS] != 0 or x.shape[0] % mesh.shape[DATA_AXIS] != 0:
+    if x.shape[0] % mesh.shape[DATA_AXIS] != 0:
         return x
     spec = [None] * x.ndim
     spec[0] = DATA_AXIS
-    spec[-1] = MODEL_AXIS
+    if mp > 1 and x.shape[-1] % mp == 0:
+        spec[-1] = MODEL_AXIS
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
 
 # column-parallel: shard the LAST axis (output features / heads)

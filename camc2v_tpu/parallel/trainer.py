@@ -233,10 +233,21 @@ def make_sharded_train_step(
     layout still follows the pre-placed inputs.
     """
     step = make_train_step(model, cfg, world_batch_scale, loss_kwargs)
+
+    def step_constrained(state, batch, rng):
+        # pin attention activations batch-over-data during tracing: with 1/N
+        # FSDP param shardings the partitioner otherwise leaks weight
+        # shardings into the head-split reshapes and replicates activations
+        # ("Involuntary full rematerialization" diagnostics)
+        from camc2v_tpu.parallel.tp import activation_sharding
+
+        with activation_sharding(mesh):
+            return step(state, batch, rng)
+
     if state is None:
-        return jax.jit(step, donate_argnums=(0,))
+        return jax.jit(step_constrained, donate_argnums=(0,))
     out_shardings = (train_state_shardings(mesh, state, shard_params), replicated(mesh))
-    return jax.jit(step, donate_argnums=(0,), out_shardings=out_shardings)
+    return jax.jit(step_constrained, donate_argnums=(0,), out_shardings=out_shardings)
 
 
 def make_sharded_eval_step(model, mesh: Optional[Mesh], loss_kwargs: Optional[dict] = None):

@@ -177,6 +177,16 @@ batch = jax.tree_util.tree_map(
 batch = shard_batch(mesh, batch)
 step = TP.make_tp_train_step(model, mesh, state, cfg)
 step.lower(state, batch, jax.random.key(1)).compile()
+# FSDP (1/N params over data) hits the same partitioner pattern through the
+# gather-at-use weights — must also compile without involuntary remat
+from camc2v_tpu.parallel import mesh as M
+dmesh = M.make_mesh(jax.devices()[:8])
+fstate = TR.init_train_state(cfg, model.init_params(jax.random.key(0), image_hw=(32, 32)))
+fstate = TR.shard_train_state(dmesh, fstate, shard_params=True)
+fbatch = shard_batch(dmesh, jax.tree_util.tree_map(
+    lambda x: jnp.concatenate([x] * 8, axis=0) if hasattr(x, "ndim") and x.ndim else x, b1))
+fstep = TR.make_sharded_train_step(model, cfg, dmesh, state=fstate, shard_params=True)
+fstep.lower(fstate, fbatch, jax.random.key(1)).compile()
 print("COMPILED_OK")
 """
     root = str(pathlib.Path(__file__).resolve().parents[1])
