@@ -103,6 +103,12 @@ class Trainer:
         analogue (reference: main/callbacks.py:740-776 + the epipolar-mask
         unlock, model/camcontexti2v.py:771-776). Each phase rebuilds the jitted
         step once with its static flags."""
+        # persistent compiled-program cache: flagship programs re-load in
+        # seconds across process restarts (verified through the axon
+        # remote-compile tunnel, which otherwise costs ~10 min per variant)
+        from camc2v_tpu.utils.tpubench import enable_compile_cache
+
+        enable_compile_cache()
         self.model = model
         self.train_config = train_config
         self.dataloader = dataloader
@@ -325,6 +331,10 @@ def generate_videos(
     remainder batches fall back to the single-device path.
     """
     import jax
+
+    from camc2v_tpu.utils.tpubench import enable_compile_cache
+
+    enable_compile_cache()
 
     from camc2v_tpu.utils.save_video import log_evaluation
 

@@ -51,6 +51,9 @@ class Image2Video:
         seed: int = 123,
     ):
         """model_configs: {model_name: yaml_path}."""
+        from camc2v_tpu.utils.tpubench import enable_compile_cache
+
+        enable_compile_cache()
         self.model_configs = model_configs
         self.result_dir = result_dir
         self.video_length = video_length

@@ -98,18 +98,37 @@ def crash_probe(out, *, max_leaves: int = 8, samples: int = 1024, what: str = "o
         )
 
 
-def timed(fn, *args, iters: int, probe: bool = True):
-    """Median wall time of `fn(*args)` with a post-timing crash probe."""
+def sync_fetch(out):
+    """Synchronize on a remote execution by FETCHING a tiny value slice.
+
+    Through the axon tunnel `block_until_ready` returns before the remote
+    execution completes (measured round 4: a 0.34 s matmul loop "completed"
+    in 0.1 ms while the subsequent value fetch took the real duration —
+    executions pipeline server-side). Only a host read synchronizes. Costs
+    one tunnel round-trip (~30 ms), so per-iteration timing overhead is a few
+    percent on second-scale programs; benchmark inner loops should be sized
+    accordingly.
+    """
     import jax
     import numpy as np
 
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    idx = (0,) * getattr(leaf, "ndim", 0)
+    return np.asarray(jax.device_get(leaf[idx] if idx else leaf))
+
+
+def timed(fn, *args, iters: int, probe: bool = True):
+    """Median wall time of `fn(*args)` (value-fetch-synchronized) with a
+    post-timing crash probe."""
+    import numpy as np
+
     out = fn(*args)
-    jax.block_until_ready(out)
+    sync_fetch(out)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        sync_fetch(out)
         times.append(time.perf_counter() - t0)
     if probe:
         crash_probe(out, what="benchmark output")

@@ -126,14 +126,16 @@ def run_rung(name: str, mode: str, iters: int) -> dict:
 
         return jax.lax.fori_loop(0, iters, body, q0)
 
+    from camc2v_tpu.utils.tpubench import sync_fetch
+
     fn = jax.jit(looped)
     t0 = time.perf_counter()
     out = fn(q, k, v, lines, penalties)
-    jax.block_until_ready(out)
+    sync_fetch(out)  # block_until_ready does NOT synchronize through the tunnel
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     out = fn(q, k, v, lines, penalties)
-    jax.block_until_ready(out)
+    sync_fetch(out)
     per_call_ms = 1e3 * (time.perf_counter() - t0) / iters
 
     # full-value fetch + verification: a crashed axon execution returns

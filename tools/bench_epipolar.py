@@ -91,14 +91,16 @@ def main():
 
             return jax.lax.fori_loop(0, args.iters, body, q0)
 
+        from camc2v_tpu.utils.tpubench import sync_fetch
+
         fn = jax.jit(looped)
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(q, k, v, lines))
+        sync_fetch(fn(q, k, v, lines))
         print(f"  compiled+first in {time.perf_counter() - t0:.1f}s", flush=True)
         times = []
         for _ in range(args.outer):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(q, k, v, lines))
+            sync_fetch(fn(q, k, v, lines))
             times.append((time.perf_counter() - t0) / args.iters)
         print(f"  BQ={bq}: {1e3 * float(np.median(times)):.3f} ms/call", flush=True)
 

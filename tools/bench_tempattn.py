@@ -92,12 +92,14 @@ def main():
             )
         )
         t0 = time.perf_counter()
-        out = jax.block_until_ready(looped(x))
+        from camc2v_tpu.utils.tpubench import sync_fetch
+
+        out = looped(x); sync_fetch(out)
         compile_s = time.perf_counter() - t0
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(looped(x))
+            sync_fetch(looped(x))
             times.append((time.perf_counter() - t0) / args.iters)
         # correctness cross-check (single application)
         one = jax.jit(fn)(x)

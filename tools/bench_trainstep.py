@@ -128,18 +128,16 @@ def _run(args):
           flush=True)
     t0 = time.perf_counter()
     state, metrics = compiled(state, batch, jax.random.key(1))
-    jax.block_until_ready(metrics["loss"])
-    print(f"first step: {time.perf_counter() - t0:.1f}s "
-          f"loss={float(metrics['loss']):.4f}", flush=True)
+    first_loss = float(metrics["loss"])  # host read = the only real sync through the tunnel
+    print(f"first step: {time.perf_counter() - t0:.1f}s loss={first_loss:.4f}", flush=True)
 
     times = []
     losses = []
     for i in range(args.steps):
         t0 = time.perf_counter()
         state, metrics = compiled(state, batch, jax.random.key(2 + i))
-        jax.block_until_ready(metrics["loss"])
+        losses.append(float(metrics["loss"]))  # fetch-synchronized timing
         times.append(time.perf_counter() - t0)
-        losses.append(float(metrics["loss"]))
     # a crashed axon remote execution hands back zero buffers without raising
     # (bench.py grew this guard in r3q; ADVICE r3 flagged its absence here) —
     # a real l2_log loss over random weights/latents cannot be exactly 0

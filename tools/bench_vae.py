@@ -79,20 +79,18 @@ def main():
 
             return jax.lax.fori_loop(0, inner, body, xc)
 
+        from camc2v_tpu.utils.tpubench import crash_probe, sync_fetch
+
         fn = jax.jit(run)
-        jax.block_until_ready(fn(params, x0))  # compile + warm
+        sync_fetch(fn(params, x0))  # compile + warm (fetch = the only real sync)
         ts = []
         out = None
         for _ in range(args.iters):
             t0 = time.perf_counter()
             out = fn(params, x0)
-            jax.block_until_ready(out)
+            sync_fetch(out)
             ts.append(time.perf_counter() - t0)
-        # value fetch: failed remote executions through the axon tunnel only
-        # raise on host reads, not block_until_ready (see bench.py::_time)
-        probe = np.asarray(jax.device_get(out)).ravel()[:8]
-        if not np.all(np.isfinite(probe)):
-            raise RuntimeError(f"benchmark output is non-finite: {probe}")
+        crash_probe(out, what="vae benchmark output")
         return float(np.median(ts)) / inner
 
     results = {}

@@ -38,12 +38,16 @@ def main():
 
     state = {}
 
+    from camc2v_tpu.utils.tpubench import sync_fetch
+
     def capture_time(fn, *fargs, iters):
         out = fn(*fargs)
-        jax.block_until_ready(out)
+        sync_fetch(out)  # block_until_ready does not sync through the tunnel
         t0 = time.perf_counter()
         with jax.profiler.trace(args.logdir):
-            jax.block_until_ready(fn(*fargs))
+            # sync INSIDE the trace context: otherwise the capture closes
+            # before the pipelined remote execution finishes
+            sync_fetch(fn(*fargs))
         dt = time.perf_counter() - t0
         state["video_s"] = dt
         return dt

@@ -49,22 +49,24 @@ def main():
     # ctx/fs/camera as jit ARGUMENTS: closure arrays are inlined as HLO
     # literals, and the precomp camera payload (~1.1 GB of penalty tiles)
     # would blow the remote-compile request size limit (HTTP 413).
+    from camc2v_tpu.utils.tpubench import sync_fetch
+
     fwd = jax.jit(lambda p, x, t, ctx, fs, camera: unet.apply(p, x, t, ctx, fs, camera))
     print("compiling...", flush=True)
     t0 = time.perf_counter()
-    fwd(params, x, t, ctx, fs, camera).block_until_ready()
+    sync_fetch(fwd(params, x, t, ctx, fs, camera))
     print(f"compiled in {time.perf_counter() - t0:.1f}s", flush=True)
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        fwd(params, x, t, ctx, fs, camera).block_until_ready()
+        sync_fetch(fwd(params, x, t, ctx, fs, camera))
         times.append(time.perf_counter() - t0)
     print(f"step_ms={np.median(times) * 1000:.2f}", flush=True)
 
     with jax.profiler.trace(args.logdir):
         for _ in range(args.iters):
-            fwd(params, x, t, ctx, fs, camera).block_until_ready()
+            sync_fetch(fwd(params, x, t, ctx, fs, camera))
     print(f"trace written to {args.logdir}", flush=True)
 
 
