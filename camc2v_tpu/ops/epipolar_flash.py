@@ -471,9 +471,14 @@ def _epipolar_flash_fwd_impl(
     # LARGEST head group that fits — at flagship ds8 (heads=5, Lk=17408) the
     # full-heads footprint is 89 MB, so residency runs per-head (g=5) there
     # and full-heads (g=1, token-major) at ds16 and below.
+    # DEFAULT ON since round 4: verified correct at every flagship shape
+    # (tools/bench_epi_bisect.py ladders, full value checks) and measured
+    # 163.5 -> 155.5 ms/step on the flagship UNet A/B (fetch-synchronized
+    # timing; the r3q "crash" was a tunnel timing artifact). Kill switch:
+    # CAMC2V_EPI_KV_RESIDENT=0.
     kv_resident = False
     hb = 0
-    if os.environ.get("CAMC2V_EPI_KV_RESIDENT", "0") == "1":
+    if os.environ.get("CAMC2V_EPI_KV_RESIDENT", "1") == "1":
         budget = int(float(os.environ.get("CAMC2V_EPI_RESIDENT_VMEM_MB", "48")) * 1024 * 1024)
         for cand in range(heads, 0, -1):
             if heads % cand == 0 and 2 * 2 * cand * lk * d * 2 <= budget:

@@ -237,6 +237,7 @@ def test_kv_resident_matches_streaming():
     F = _realistic_F()
     lines = epipolar_lines(F, H, W, DS)
     q, k, v, *_ = _qkv()
+    os.environ["CAMC2V_EPI_KV_RESIDENT"] = "0"  # streaming baseline (default flipped to resident in r4)
     base = epipolar_flash_attention(
         q, k, v, lines, t=T, h=H, w=W, downsample=DS, num_registers=R,
         block_q=BQ, block_k=BK,
@@ -259,7 +260,7 @@ def test_kv_resident_matches_streaming():
             q2, k2, v2, lines, t=T, h=H, w=W, downsample=DS, num_registers=R,
             block_q=BQ, block_k=bk,
         )
-        os.environ.pop("CAMC2V_EPI_KV_RESIDENT")
+        os.environ["CAMC2V_EPI_KV_RESIDENT"] = "0"  # pin streaming (default flipped to resident in r4)
         base2 = epipolar_flash_attention(
             q2, k2, v2, lines, t=T, h=H, w=W, downsample=DS, num_registers=R,
             block_q=BQ, block_k=bk,
@@ -522,6 +523,7 @@ def test_kv_resident_composes_with_penalties():
     F = _realistic_F()
     lines = epipolar_lines(F, H, W, DS)
     q, k, v, *_ = _qkv()
+    os.environ["CAMC2V_EPI_KV_RESIDENT"] = "0"  # streaming baseline (default flipped to resident in r4)
     base = epipolar_flash_attention(
         q, k, v, lines, t=T, h=H, w=W, downsample=DS, num_registers=R,
         block_q=BQ, block_k=BK,
@@ -545,7 +547,7 @@ def test_kv_resident_composes_with_penalties():
             q, k2, v2, lines, t=T, h=H, w=W, downsample=DS, num_registers=R,
             block_q=BQ, block_k=bk, penalties=pen2,
         )
-        os.environ.pop("CAMC2V_EPI_KV_RESIDENT")
+        os.environ["CAMC2V_EPI_KV_RESIDENT"] = "0"  # pin streaming (default flipped to resident in r4)
         base2 = epipolar_flash_attention(
             q, k2, v2, lines, t=T, h=H, w=W, downsample=DS, num_registers=R,
             block_q=BQ, block_k=bk,
@@ -593,6 +595,7 @@ def test_kv_resident_head_grouped_budget():
     F = _realistic_F()
     lines = epipolar_lines(F, H, W, DS)
     q, k, v, *_ = _qkv()
+    os.environ["CAMC2V_EPI_KV_RESIDENT"] = "0"  # streaming baseline (default flipped to resident in r4)
     base = epipolar_flash_attention(
         q, k, v, lines, t=T, h=H, w=W, downsample=DS, num_registers=R,
         block_q=BQ, block_k=BK,
