@@ -33,6 +33,8 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -118,8 +120,10 @@ def bench_unet(n_iters: int, inner_steps: int = 10):
     return step_s, flops
 
 
-def bench_e2e(n_iters: int, ddim_steps: int, batch: int = 1, sampler: str = "ddim"):
-    """Full jitted model.sample at the production recipe."""
+def _e2e_setup(batch: int):
+    """Build (model, realized params, batch dict) once — reused across the
+    ddim-25 headline and the dpmpp-13 extra so the ~10-minute host
+    realization + device transfer is paid once per process."""
     import jax
     import jax.numpy as jnp
 
@@ -148,7 +152,15 @@ def bench_e2e(n_iters: int, ddim_steps: int, batch: int = 1, sampler: str = "ddi
         "cond_frames": jnp.asarray(rng.uniform(-1, 1, (b, n_ctx, IMG, IMG, 3)), jnp.float32),
         "RT_cond": jnp.asarray(w2c_cond),
     }
+    return model, params, batch
 
+
+def bench_e2e(n_iters: int, ddim_steps: int, batch: int = 1, sampler: str = "ddim",
+              setup=None):
+    """Full jitted model.sample at the production recipe."""
+    import jax
+
+    model, params, batch = setup if setup is not None else _e2e_setup(batch)
     fn = jax.jit(
         lambda p, batch, key: model.sample(
             p, batch, key,
@@ -225,10 +237,23 @@ def main():
         }))
         return
 
-    # one compile only (the remote-compile tunnel costs ~20-30 min per
-    # flagship program; the UNet-only figure is available via --unet-only)
+    # one params build + transfer; the headline (ddim, args.steps) compile is
+    # the big one (~10 min fresh through the tunnel, seconds when the
+    # persistent cache hits), the dpmpp-13 extra adds one cached-or-small
+    # compile on the SAME resident params
     try:
-        batch_s = bench_e2e(args.iters, args.steps, args.batch, args.sampler)
+        setup = _e2e_setup(args.batch)
+        batch_s = bench_e2e(args.iters, args.steps, args.batch, args.sampler, setup=setup)
+        dpmpp_s = None
+        if (args.sampler == "ddim" and args.steps == DDIM_STEPS
+                and os.environ.get("CAMC2V_BENCH_DPMPP13", "1") == "1"):
+            # production-throughput extra: 13-step DPM++(2M) (solver-accuracy
+            # evidence vs 25-step DDIM in BASELINE.md)
+            try:
+                dpmpp_s = bench_e2e(args.iters, 13, args.batch, "dpmpp_2m", setup=setup)
+            except Exception as e:  # noqa: BLE001
+                print(f"bench: dpmpp13 extra failed ({type(e).__name__}) — "
+                      "headline unaffected", file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         from camc2v_tpu.utils.tpubench import retry_transient
         retry_transient(e)
@@ -242,6 +267,11 @@ def main():
         "vs_baseline": round(videos_per_min / REFERENCE_VIDEOS_PER_MIN_ESTIMATE, 3),
         "e2e_video_s": round(video_s, 3),
     }
+    if dpmpp_s is not None:
+        dv = dpmpp_s / args.batch
+        out["dpmpp13_videos_per_min"] = round(60.0 / dv, 3)
+        out["dpmpp13_video_s"] = round(dv, 3)
+        out["dpmpp13_vs_baseline"] = round(60.0 / dv / REFERENCE_VIDEOS_PER_MIN_ESTIMATE, 3)
     if args.batch != 1:
         out["batch"] = args.batch
         out["e2e_batch_s"] = round(batch_s, 3)
