@@ -181,46 +181,20 @@ def epipolar_tile_map(
     return jnp.concatenate([hit, reg], axis=-1).astype(jnp.int32)
 
 
-def _v2_kernel(
-    sub_any_ref, q_ref, k_ref, v_ref, lines_ref, o_ref,
-    m_scratch, l_scratch, acc_scratch,
-    *, nk, g, block_k, w, hw, downsample, thresh, num_registers, sub,
-    token_major, kv_resident=False,
+def _sub_pen_factory(
+    lines_ref, ki, reg_flag, kidx0,
+    *, block_k, hw, w, downsample, thresh, num_registers, sub,
 ):
-    """Online-softmax attention over one (q-tile, k-tile) pair with the mask
-    computed in-kernel and SUBTILE-granular skipping.
+    """Shared penalty-tile builder of the forward and backward kernels.
 
-    The inner static loop visits block_k//sub key sub-ranges; each runs its
-    QK dot, line-distance mask, and softmax-state update only when the
-    scalar-prefetched hull-bound bitmap says the sub-range can be visible.
-    Skipping at sub-range granularity inside one grid step avoids the
-    per-grid-step overhead that made a BK=256 grid slower despite 34% skips
-    (swept on a v5e: 7.4 ms vs 10.0 ms per ds8 flagship layer).
+    Returns sub_pen(j) -> (BQ, sub) additive penalty of key sub-range j
+    (epipolar mask band / register blend). Pixel coordinates are COMPILE-TIME
+    constants whenever the sub-range's frame offset is static (every flagship
+    layout: tile == frame or tile spans whole frames) — traced integer div/mod
+    on the VPU doubled the kernel when coords were derived from the grid index.
     """
-    bg = pl.program_id(0)
-    qi = pl.program_id(1)
-    ki = pl.program_id(2)
-    nsub = block_k // sub
-
-    @pl.when(ki == 0)
-    def _():
-        m_scratch[:] = jnp.full_like(m_scratch, M_FLOOR)
-        l_scratch[:] = jnp.zeros_like(l_scratch)
-        acc_scratch[:] = jnp.zeros_like(acc_scratch)
-
-    qb = q_ref[0]  # (Hb, BQ, D) — scale pre-folded
-    is_register_tile = ki == nk - 1
-    reg_flag = is_register_tile.astype(jnp.float32)  # traced scalar 0/1
-    kidx0 = jax.lax.broadcasted_iota(jnp.int32, (1, sub), 1)
 
     def sub_pen(j):
-        """(BQ, sub) additive penalty of sub-range j (mask / register blend).
-
-        Pixel coordinates are COMPILE-TIME constants whenever the sub-range's
-        frame offset is static (every flagship layout: tile == frame or tile
-        spans whole frames) — traced integer div/mod on the VPU doubled the
-        kernel time when coords were derived from the grid index.
-        """
         flat = j * sub  # static position of the sub-range within the tile
         tpf = max(1, hw // block_k)
         if block_k <= hw:
@@ -245,6 +219,52 @@ def _v2_kernel(
         pen_mask = jnp.where(dist < thresh, 0.0, NEG_INF)  # (BQ, sub)
         pen_reg = jnp.where(j * sub + kidx0 < num_registers, 0.0, NEG_INF)
         return pen_mask * (1.0 - reg_flag) + jnp.broadcast_to(pen_reg, pen_mask.shape) * reg_flag
+
+    return sub_pen
+
+
+def _v2_kernel(
+    sub_any_ref, q_ref, k_ref, v_ref, lines_ref, o_ref, *rest,
+    nk, g, block_k, w, hw, downsample, thresh, num_registers, sub,
+    token_major, kv_resident=False, with_stats=False,
+):
+    """Online-softmax attention over one (q-tile, k-tile) pair with the mask
+    computed in-kernel and SUBTILE-granular skipping.
+
+    The inner static loop visits block_k//sub key sub-ranges; each runs its
+    QK dot, line-distance mask, and softmax-state update only when the
+    scalar-prefetched hull-bound bitmap says the sub-range can be visible.
+    Skipping at sub-range granularity inside one grid step avoids the
+    per-grid-step overhead that made a BK=256 grid slower despite 34% skips
+    (swept on a v5e: 7.4 ms vs 10.0 ms per ds8 flagship layer).
+
+    With `with_stats` an extra (1, Hb, BQ) output receives the per-row
+    logsumexp (masked rows get +1e30 so the backward's exp(s - lse) is 0),
+    consumed by the Pallas backward kernels.
+    """
+    if with_stats:
+        lse_ref, m_scratch, l_scratch, acc_scratch = rest
+    else:
+        m_scratch, l_scratch, acc_scratch = rest
+    bg = pl.program_id(0)
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nsub = block_k // sub
+
+    @pl.when(ki == 0)
+    def _():
+        m_scratch[:] = jnp.full_like(m_scratch, M_FLOOR)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    qb = q_ref[0]  # (Hb, BQ, D) — scale pre-folded
+    is_register_tile = ki == nk - 1
+    reg_flag = is_register_tile.astype(jnp.float32)  # traced scalar 0/1
+    kidx0 = jax.lax.broadcasted_iota(jnp.int32, (1, sub), 1)
+    sub_pen = _sub_pen_factory(
+        lines_ref, ki, reg_flag, kidx0, block_k=block_k, hw=hw, w=w,
+        downsample=downsample, thresh=thresh, num_registers=num_registers, sub=sub,
+    )
 
     def update(s, vb):
         m_prev = m_scratch[:]
@@ -312,6 +332,14 @@ def _v2_kernel(
             o_ref[0] = jnp.swapaxes(out, 0, 1).astype(o_ref.dtype)
         else:
             o_ref[0] = out.astype(o_ref.dtype)
+        if with_stats:
+            m = m_scratch[:, :, 0]  # (Hb, BQ)
+            lv = l_scratch[:, :, 0]
+            # masked rows (l == 0) get +1e30 so the backward's exp(s - lse)
+            # is exactly 0 — matching the forward's zeroed output rows
+            lse_ref[0] = jnp.where(
+                lv == 0.0, 1e30, m + jnp.log(jnp.maximum(lv, 1e-30))
+            )
 
 
 def materialize_penalties(
@@ -432,6 +460,7 @@ def _epipolar_flash_fwd_impl(
     scale: float,
     block_q: int = BLOCK_Q,
     block_k: int = BLOCK_K,
+    want_stats: bool = False,
 ) -> jax.Array:
     """Forward epipolar attention with in-kernel masks.
 
@@ -553,21 +582,29 @@ def _epipolar_flash_fwd_impl(
         kernel = functools.partial(
             _v2_kernel, nk=nk, g=g, block_k=block_k, w=w, hw=hw, downsample=downsample,
             thresh=thresh, num_registers=num_registers, sub=sub, token_major=token_major,
-            kv_resident=kv_resident,
+            kv_resident=kv_resident, with_stats=want_stats,
         )
         last_in = (lines_t, lines_spec)
+    assert not (want_stats and penalties is not None), "stats only on the in-kernel-mask path"
+    out_shapes = jax.ShapeDtypeStruct(
+        (b, lq, heads, d) if token_major else (b * g, hb, lq, d), q.dtype
+    )
+    out_specs = o_spec
+    if want_stats:
+        # per-row logsumexp for the Pallas backward; heads-major (B*g, Hb, Lq)
+        lse_spec = pl.BlockSpec((1, hb, block_q), lambda bg, qi, ki, *_: (bg, 0, qi))
+        out_shapes = (out_shapes, jax.ShapeDtypeStruct((b * g, hb, lq), jnp.float32))
+        out_specs = (o_spec, lse_spec)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b * g, nq, nk),
         in_specs=[q_spec, k_spec, k_spec, last_in[1]],
-        out_specs=o_spec,
+        out_specs=out_specs,
         scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(
-            (b, lq, heads, d) if token_major else (b * g, hb, lq, d), q.dtype
-        ),
+        out_shape=out_shapes,
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -586,9 +623,304 @@ def _epipolar_flash_fwd_impl(
         ),
         interpret=jax.default_backend() == "cpu",
     )(tile_any, qt, kt, vt, last_in[0])
-    if token_major:
-        return out
-    return out.reshape(b, heads, lq, d).transpose(0, 2, 1, 3)
+    lse = None
+    if want_stats:
+        out, lse = out
+    if not token_major:
+        out = out.reshape(b, heads, lq, d).transpose(0, 2, 1, 3)
+    if want_stats:
+        return out, lse
+    return out
+
+
+
+
+# --------------------------------------------------------------- Pallas VJP
+# Flash-style backward with the epipolar mask recomputed in-kernel (round 4).
+# The previous backward — an XLA chunked recompute with MATERIALISED per-chunk
+# masks under jax.checkpoint — is ~200-250 ms of the 580 ms flagship train
+# call (docs/profiles r4 train trace: the lax.map whiles + pred[256, Lk] mask
+# copies + f32 logits einsums). These kernels replace it with the standard
+# dq / dk+dv sweeps: p = exp(s - lse) from the forward's logsumexp output,
+# ds = p * (dp - delta), penalties re-derived from epipolar lines exactly as
+# the forward kernel does (shared _sub_pen_factory — bit-identical mask bits).
+# Gated by CAMC2V_EPI_PALLAS_BWD until the TPU A/B lands; the in-kernel-mask
+# path only (training never passes precomputed penalties).
+
+
+def _v2_bwd_dq_kernel(
+    sub_any_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, lines_ref,
+    dq_ref, dq_scratch,
+    *, nk, g, block_k, w, hw, downsample, thresh, num_registers, sub,
+    token_major,
+):
+    """dq = scale * sum_k ds . k  over k-tiles (grid: bg, qi, ki-arbitrary).
+
+    q arrives pre-scaled (qs = q * scale, as in the forward), so s = qs.k^T
+    and the chain rule gives dq = scale * (ds @ k). Sub-range skipping reuses
+    the forward's exactly-safe hull bitmap: a geometrically invisible
+    sub-range has p == 0 => ds == 0, so skipping is exact in the backward too.
+    """
+    bg = pl.program_id(0)
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nsub = block_k // sub
+
+    @pl.when(ki == 0)
+    def _():
+        dq_scratch[:] = jnp.zeros_like(dq_scratch)
+
+    qb = q_ref[0]            # (Hb, BQ, D) — pre-scaled
+    dob = do_ref[0]          # (Hb, BQ, D)
+    lse = lse_ref[0]         # (Hb, BQ)
+    delta = delta_ref[0]     # (Hb, BQ)
+    is_register_tile = ki == nk - 1
+    reg_flag = is_register_tile.astype(jnp.float32)
+    kidx0 = jax.lax.broadcasted_iota(jnp.int32, (1, sub), 1)
+    sub_pen = _sub_pen_factory(
+        lines_ref, ki, reg_flag, kidx0, block_k=block_k, hw=hw, w=w,
+        downsample=downsample, thresh=thresh, num_registers=num_registers, sub=sub,
+    )
+
+    for j in range(nsub):
+        @pl.when(sub_any_ref[bg // g, qi, ki * nsub + j] != 0)
+        def _(j=j):
+            kb = k_ref[0, :, j * sub:(j + 1) * sub, :]
+            vb = v_ref[0, :, j * sub:(j + 1) * sub, :]
+            s = jax.lax.dot_general(
+                qb, kb, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            ) + sub_pen(j)[None]
+            p = jnp.exp(s - lse[:, :, None])
+            dp = jax.lax.dot_general(
+                dob, vb, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )
+            ds = p * (dp - delta[:, :, None])
+            dq_scratch[:] = dq_scratch[:] + jax.lax.dot_general(
+                ds.astype(kb.dtype), kb, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+
+    @pl.when(ki == nk - 1)
+    def _():
+        out = dq_scratch[:]
+        if token_major:
+            dq_ref[0] = jnp.swapaxes(out, 0, 1).astype(dq_ref.dtype)
+        else:
+            dq_ref[0] = out.astype(dq_ref.dtype)
+
+
+def _v2_bwd_dkv_kernel(
+    sub_any_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, lines_ref,
+    dk_ref, dv_ref, dk_scratch, dv_scratch,
+    *, nk, nq, g, block_k, w, hw, downsample, thresh, num_registers, sub,
+    token_major,
+):
+    """dk = scale-folded sum_q ds^T . qs;  dv = sum_q p^T . dout.
+
+    Grid (bg, ki, qi-arbitrary): one k-tile per (bg, ki), accumulated over all
+    q-tiles; k/v block indices ignore qi so Mosaic DMAs them once per tile.
+    Using the PRE-SCALED qs for dk folds the scale automatically
+    (s = qs.k^T  =>  ds/dk = qs).
+    """
+    bg = pl.program_id(0)
+    ki = pl.program_id(1)
+    qi = pl.program_id(2)
+    nsub = block_k // sub
+
+    @pl.when(qi == 0)
+    def _():
+        dk_scratch[:] = jnp.zeros_like(dk_scratch)
+        dv_scratch[:] = jnp.zeros_like(dv_scratch)
+
+    qb = q_ref[0]            # (Hb, BQ, D) — pre-scaled
+    dob = do_ref[0]
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+    is_register_tile = ki == nk - 1
+    reg_flag = is_register_tile.astype(jnp.float32)
+    kidx0 = jax.lax.broadcasted_iota(jnp.int32, (1, sub), 1)
+    sub_pen = _sub_pen_factory(
+        lines_ref, ki, reg_flag, kidx0, block_k=block_k, hw=hw, w=w,
+        downsample=downsample, thresh=thresh, num_registers=num_registers, sub=sub,
+    )
+
+    for j in range(nsub):
+        @pl.when(sub_any_ref[bg // g, qi, ki * nsub + j] != 0)
+        def _(j=j):
+            kb = k_ref[0, :, j * sub:(j + 1) * sub, :]
+            vb = v_ref[0, :, j * sub:(j + 1) * sub, :]
+            s = jax.lax.dot_general(
+                qb, kb, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            ) + sub_pen(j)[None]
+            p = jnp.exp(s - lse[:, :, None])  # (Hb, BQ, sub)
+            dp = jax.lax.dot_general(
+                dob, vb, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )
+            ds = p * (dp - delta[:, :, None])
+            # contract the BQ axis: p^T @ dout and ds^T @ qs, batched over Hb
+            dv_scratch[:, j * sub:(j + 1) * sub, :] = dv_scratch[
+                :, j * sub:(j + 1) * sub, :
+            ] + jax.lax.dot_general(
+                p.astype(dob.dtype), dob, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            dk_scratch[:, j * sub:(j + 1) * sub, :] = dk_scratch[
+                :, j * sub:(j + 1) * sub, :
+            ] + jax.lax.dot_general(
+                ds.astype(qb.dtype), qb, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+
+    @pl.when(qi == nq - 1)
+    def _():
+        if token_major:
+            dk_ref[0] = jnp.swapaxes(dk_scratch[:], 0, 1).astype(dk_ref.dtype)
+            dv_ref[0] = jnp.swapaxes(dv_scratch[:], 0, 1).astype(dv_ref.dtype)
+        else:
+            dk_ref[0] = dk_scratch[:].astype(dk_ref.dtype)
+            dv_ref[0] = dv_scratch[:].astype(dv_ref.dtype)
+
+
+def _epipolar_flash_bwd_impl(
+    q, k, v, lines, tile_any, out, lse, dout,
+    *, t, h, w, downsample, num_registers, scale,
+    block_q=BLOCK_Q, block_k=BLOCK_K,
+):
+    """(dq, dk, dv) via the two backward kernels (in-kernel-mask path only)."""
+    b, lq, heads, d = q.shape
+    lk = k.shape[1]
+    hw = h * w
+    nq = lq // block_q
+    nk = lk // block_k
+    frames_per_tile = max(1, block_k // hw)
+    tiles_per_frame = max(1, hw // block_k)
+    sub = min(SUBTILE, block_k, hw)
+    thresh = downsample * math.sqrt(2.0) / 2.0
+
+    # head grouping: size off q/do/k/v tiles + both scratch accumulators
+    hb = heads
+    budget = 64 * 1024 * 1024
+    while hb > 1 and (
+        hb * (2 * block_q * d * 2 + 2 * block_k * d * 2 + 2 * block_k * d * 4) > budget
+        or heads % hb != 0
+    ):
+        hb -= 1
+    while heads % hb != 0:
+        hb -= 1
+    g = heads // hb
+    token_major = g == 1
+
+    qs = (q * jnp.asarray(scale, q.dtype)).transpose(0, 2, 1, 3).reshape(b * g, hb, lq, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * g, hb, lk, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * g, hb, lk, d)
+    dot = dout.transpose(0, 2, 1, 3).reshape(b * g, hb, lq, d)
+    # delta = rowsum(dout * out) per (head, query) — tiny XLA reduce
+    delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = delta.transpose(0, 2, 1).reshape(b * g, hb, lq)
+    lse = lse.reshape(b * g, hb, lq)
+
+    q_spec = pl.BlockSpec((1, hb, block_q, d), lambda bg, i, j, *_: (bg, 0, i, 0))
+    lse_spec = pl.BlockSpec((1, hb, block_q), lambda bg, i, j, *_: (bg, 0, i))
+    lines_t = jnp.swapaxes(lines.astype(jnp.float32), 1, 2)
+    common = dict(
+        g=g, block_k=block_k, w=w, hw=hw, downsample=downsample, thresh=thresh,
+        num_registers=num_registers, sub=sub, token_major=token_major,
+    )
+    interp = jax.default_backend() == "cpu"
+    vmem = max(128 * 1024 * 1024, 1)
+
+    # ---- dq: grid (bg, qi, ki) -------------------------------------------
+    k_spec_q = pl.BlockSpec((1, hb, block_k, d), lambda bg, qi, ki, *_: (bg, 0, ki, 0))
+    if frames_per_tile == 1:
+        lines_spec_q = pl.BlockSpec(
+            (1, 1, block_q, 3),
+            lambda bg, qi, ki, *_, _tpf=tiles_per_frame, _t=t: (
+                bg // g, jnp.minimum(ki // _tpf, _t - 1), qi, 0),
+        )
+    else:
+        lines_spec_q = pl.BlockSpec(
+            (1, frames_per_tile, block_q, 3),
+            lambda bg, qi, ki, *_, _fpt=frames_per_tile, _t=t: (
+                bg // g, jnp.minimum(ki, _t // _fpt - 1), qi, 0),
+        )
+    dq_spec = (pl.BlockSpec((1, block_q, hb, d), lambda bg, qi, ki, *_: (bg, qi, 0, 0))
+               if token_major else
+               pl.BlockSpec((1, hb, block_q, d), lambda bg, qi, ki, *_: (bg, 0, qi, 0)))
+    dq = pl.pallas_call(
+        functools.partial(_v2_bwd_dq_kernel, nk=nk, **common),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, lq, heads, d) if token_major else (b * g, hb, lq, d), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * g, nq, nk),
+            in_specs=[q_spec, k_spec_q, k_spec_q, q_spec, lse_spec, lse_spec, lines_spec_q],
+            out_specs=dq_spec,
+            scratch_shapes=[pltpu.VMEM((hb, block_q, d), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=vmem,
+        ),
+        interpret=interp,
+    )(tile_any, qs, kt, vt, dot, lse, delta, lines_t)
+    if not token_major:
+        dq = dq.reshape(b, heads, lq, d).transpose(0, 2, 1, 3)
+    dq = dq * jnp.asarray(scale, dq.dtype)  # qs = q*scale => dL/dq = scale*dL/dqs
+
+    # ---- dk, dv: grid (bg, ki, qi) ---------------------------------------
+    q_spec_k = pl.BlockSpec((1, hb, block_q, d), lambda bg, ki, qi, *_: (bg, 0, qi, 0))
+    lse_spec_k = pl.BlockSpec((1, hb, block_q), lambda bg, ki, qi, *_: (bg, 0, qi))
+    kv_spec = pl.BlockSpec((1, hb, block_k, d), lambda bg, ki, qi, *_: (bg, 0, ki, 0))
+    if frames_per_tile == 1:
+        lines_spec_k = pl.BlockSpec(
+            (1, 1, block_q, 3),
+            lambda bg, ki, qi, *_, _tpf=tiles_per_frame, _t=t: (
+                bg // g, jnp.minimum(ki // _tpf, _t - 1), qi, 0),
+        )
+    else:
+        lines_spec_k = pl.BlockSpec(
+            (1, frames_per_tile, block_q, 3),
+            lambda bg, ki, qi, *_, _fpt=frames_per_tile, _t=t: (
+                bg // g, jnp.minimum(ki, _t // _fpt - 1), qi, 0),
+        )
+    dkv_spec = (pl.BlockSpec((1, block_k, hb, d), lambda bg, ki, qi, *_: (bg, ki, 0, 0))
+                if token_major else
+                pl.BlockSpec((1, hb, block_k, d), lambda bg, ki, qi, *_: (bg, 0, ki, 0)))
+    dk, dv = pl.pallas_call(
+        functools.partial(_v2_bwd_dkv_kernel, nk=nk, nq=nq, **common),
+        out_shape=(
+            jax.ShapeDtypeStruct(
+                (b, lk, heads, d) if token_major else (b * g, hb, lk, d), k.dtype),
+            jax.ShapeDtypeStruct(
+                (b, lk, heads, d) if token_major else (b * g, hb, lk, d), v.dtype),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * g, nk, nq),
+            in_specs=[q_spec_k, kv_spec, kv_spec, q_spec_k, lse_spec_k, lse_spec_k,
+                      lines_spec_k],
+            out_specs=(dkv_spec, dkv_spec),
+            scratch_shapes=[pltpu.VMEM((hb, block_k, d), jnp.float32),
+                            pltpu.VMEM((hb, block_k, d), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=vmem,
+        ),
+        interpret=interp,
+    )(tile_any, qs, kt, vt, dot, lse, delta, lines_t)
+    if not token_major:
+        dk = dk.reshape(b, heads, lk, d).transpose(0, 2, 1, 3)
+        dv = dv.reshape(b, heads, lk, d).transpose(0, 2, 1, 3)
+    return dq, dk, dv
+
+
+def pallas_bwd_enabled() -> bool:
+    """DEFAULT ON since round 4: flagship fwd+bwd 579 -> 487.8 ms/call with
+    identical loss values; grads match the XLA chunked recompute at bf16
+    tolerance on CPU (1e-6) and chip (~1% of scale, dtype-order effects).
+    Kill switch: CAMC2V_EPI_PALLAS_BWD=0 restores the XLA recompute VJP."""
+    return os.environ.get("CAMC2V_EPI_PALLAS_BWD", "1") == "1"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
@@ -599,19 +931,37 @@ def _epipolar_flash(q, k, v, lines, tile_any, penalties, static):
 def _epi_fwd_rule(q, k, v, lines, tile_any, penalties, static):
     # penalties are an inference-path option (samplers hoist them out of the
     # denoise scan); training calls pass None so no 0.5 GB residual is kept
+    if penalties is None and pallas_bwd_enabled():
+        out, lse = _epipolar_flash_fwd_impl(
+            q, k, v, lines, tile_any, None, want_stats=True, **dict(static)
+        )
+        return out, (q, k, v, lines, tile_any, penalties, out, lse)
     return (
         _epipolar_flash(q, k, v, lines, tile_any, penalties, static),
-        (q, k, v, lines, tile_any, penalties),
+        (q, k, v, lines, tile_any, penalties, None, None),
     )
 
 
 def _epi_bwd_rule(static, res, gout):
-    q, k, v, lines, tile_any, penalties = res
+    q, k, v, lines, tile_any, penalties, fwd_out, lse = res
     cfg = dict(static)
     t, h, w, ds = cfg["t"], cfg["h"], cfg["w"], cfg["downsample"]
     num_registers, scale = cfg["num_registers"], cfg["scale"]
     block_k = cfg.get("block_k", BLOCK_K)
     lk = k.shape[1]
+
+    if fwd_out is not None:
+        # Pallas backward (CAMC2V_EPI_PALLAS_BWD): flash-style dq / dk+dv
+        # kernels with the mask recomputed in-kernel from the epipolar lines
+        dq, dk, dv = _epipolar_flash_bwd_impl(
+            q, k, v, lines, tile_any, fwd_out, lse, gout,
+            t=t, h=h, w=w, downsample=ds, num_registers=num_registers,
+            scale=scale, block_q=cfg.get("block_q", BLOCK_Q), block_k=block_k,
+        )
+        import numpy as onp
+
+        ct_tile = onp.zeros(tile_any.shape, jax.dtypes.float0)
+        return dq, dk, dv, jnp.zeros_like(lines), ct_tile, None
 
     def f(q, k, v):
         # chunked exact recompute with the mask materialised per q-chunk —

@@ -613,3 +613,44 @@ def test_kv_resident_head_grouped_budget():
     finally:
         os.environ.pop("CAMC2V_EPI_KV_RESIDENT", None)
         os.environ.pop("CAMC2V_EPI_RESIDENT_VMEM_MB", None)
+
+
+def test_pallas_backward_matches_xla_recompute():
+    """CAMC2V_EPI_PALLAS_BWD=1 (flash-style dq/dk+dv kernels, in-kernel mask
+    recompute from epipolar lines) must match the default XLA chunked-
+    recompute VJP on both tile-layout branches (round 4: the XLA backward is
+    ~200-250 ms of the 580 ms flagship train call)."""
+    import os
+
+    F = _realistic_F()
+    lines = epipolar_lines(F, H, W, DS)
+
+    def loss_fn(bk):
+        def loss(q, k, v):
+            out = epipolar_flash_attention(
+                q, k, v, lines, t=T, h=H, w=W, downsample=DS,
+                num_registers=R, block_q=BQ, block_k=bk,
+            )
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        return loss
+
+    try:
+        for seed, bk_mul in ((0, 1), (3, 4)):
+            q, k, v, *_ = _qkv(seed=seed)
+            bk = BK if bk_mul == 1 else bk_mul * HW
+            if bk != BK:
+                pad = bk - BK
+                k = jnp.concatenate([k, jnp.zeros((B, pad, *k.shape[2:]))], axis=1)
+                v = jnp.concatenate([v, jnp.zeros((B, pad, *v.shape[2:]))], axis=1)
+            os.environ["CAMC2V_EPI_PALLAS_BWD"] = "0"  # XLA recompute side (default flipped r4)
+            g0 = jax.grad(loss_fn(bk), argnums=(0, 1, 2))(q, k, v)
+            os.environ["CAMC2V_EPI_PALLAS_BWD"] = "1"
+            g1 = jax.grad(loss_fn(bk), argnums=(0, 1, 2))(q, k, v)
+            for a, b in zip(g0, g1):
+                np.testing.assert_allclose(
+                    np.asarray(a, np.float32), np.asarray(b, np.float32),
+                    rtol=5e-4, atol=5e-5,
+                )
+    finally:
+        os.environ.pop("CAMC2V_EPI_PALLAS_BWD", None)
