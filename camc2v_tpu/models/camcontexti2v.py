@@ -131,8 +131,15 @@ class CamContextI2V(CamI2V):
         enable_camera_condition: bool = True,
         trace_scale_factor: float = 1.0,
         adaptor_use_mask: Optional[bool] = None,
+        need_full_z: bool = True,
     ) -> tuple[jax.Array, dict]:
-        """reference: model/camcontexti2v.py:280-491."""
+        """reference: model/camcontexti2v.py:280-491.
+
+        need_full_z=False: generation fast path — only the conditioning frame
+        and the context frames are VAE-encoded (1+N frames instead of T+N; the
+        encoder is frame-wise so the kept latents are numerically identical).
+        cond["origin_z0"] is None in this mode (see DynamiCrafter.prepare_batch).
+        """
         cfg: CamContextI2VConfig = self.config
         video = batch["video"]
         b, t, H, W = video.shape[:4]
@@ -162,21 +169,33 @@ class CamContextI2V(CamI2V):
         strategy = cfg.multi_cond_strategy
         latent_strategies = ("token_concat_latent", "token_concat_latent_epipolar")
 
-        if cond_frames is not None and strategy in latent_strategies:
-            x_all = jnp.concatenate([video, cond_frames], axis=1)
-        else:
-            x_all = video
-        z_all = self.encode_first_stage(params, x_all, keys[0])
-
         take_frame = lambda arr, idx: jnp.take_along_axis(
             arr, idx.reshape(b, 1, 1, 1, 1), axis=1
         ).squeeze(1)
 
+        if need_full_z:
+            if cond_frames is not None and strategy in latent_strategies:
+                x_all = jnp.concatenate([video, cond_frames], axis=1)
+            else:
+                x_all = video
+            z_all = self.encode_first_stage(params, x_all, keys[0])
+        else:
+            raw_img = take_frame(video, cond_frame_index)  # (B, H, W, 3)
+            if cond_frames is not None and strategy in latent_strategies:
+                x_sel = jnp.concatenate([raw_img[:, None], cond_frames], axis=1)
+            else:
+                x_sel = raw_img[:, None]
+            z_sel = self.encode_first_stage(params, x_sel, keys[0])
+
         if cond_frames is not None and strategy in latent_strategies:
             n_ctx = cond_frames.shape[1]
-            z = z_all[:, :t]
-            z_add = z_all[:, t:]
-            z_cond = take_frame(z, cond_frame_index)
+            if need_full_z:
+                z = z_all[:, :t]
+                z_add = z_all[:, t:]
+                z_cond = take_frame(z, cond_frame_index)
+            else:
+                z_cond, z_add = z_sel[:, 0], z_sel[:, 1:]
+                z = jnp.repeat(z_cond[:, None], t, axis=1)  # shape placeholder
             z_inp = jnp.concatenate([z_cond[:, None], z_add], axis=1)  # (B, 1+N, h, w, 4)
             hl, wl = z.shape[2:4]
             z_tokens = z_inp.reshape(b, (1 + n_ctx) * hl * wl, z.shape[-1])
@@ -229,8 +248,12 @@ class CamContextI2V(CamI2V):
                 img_cat_cond = self.zero_conv.apply({"params": params["zero_conv"]}, img_cat_cond)
                 img_cat_cond = original_cond[:, None] + img_cat_cond
         else:
-            z = z_all
-            z_cond = take_frame(z, cond_frame_index)
+            if need_full_z:
+                z = z_all
+                z_cond = take_frame(z, cond_frame_index)
+            else:
+                z_cond = z_sel[:, 0]
+                z = jnp.repeat(z_cond[:, None], t, axis=1)  # shape placeholder
             img_cat_cond = jnp.repeat(z_cond[:, None], t, axis=1)
 
         # ---------------- text + semantic image branch ----------------
@@ -269,7 +292,7 @@ class CamContextI2V(CamI2V):
         cond: dict[str, Any] = {
             "c_concat": img_cat_cond,
             "c_cond_frame_index": cond_frame_index,
-            "origin_z0": z,
+            "origin_z0": z if need_full_z else None,
             "c_crossattn": jnp.concatenate([prompt_emb, img_emb], axis=1),
         }
         if ctx_valid is not None and cfg.use_semantic_branch and cond_frames is not None:

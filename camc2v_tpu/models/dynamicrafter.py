@@ -263,21 +263,26 @@ class DynamiCrafter:
         cond_frame_index: Optional[jax.Array] = None,
         enable_camera_condition: bool = True,
         trace_scale_factor: float = 1.0,
+        need_full_z: bool = True,
     ) -> tuple[jax.Array, dict]:
-        """Assemble (z, cond). reference: model/base.py:237-344."""
+        """Assemble (z, cond). reference: model/base.py:237-344.
+
+        need_full_z=False (generation fast path, unavailable in interp_mode):
+        the VAE encoder is frame-wise, so when nothing downstream consumes the
+        full clean latents (`origin_z0` feeds only the static paste/overlap
+        surgery in the samplers) the conditioning frame is selected at PIXEL
+        level and encoded alone — numerically identical latents at 1/T of the
+        encode cost. cond["origin_z0"] is None in this mode and the returned z
+        is a broadcast placeholder carrying only the latent shape.
+        """
         cfg = self.config
         video = batch["video"]
         b, t = video.shape[:2]
         keys = (
             jax.random.split(rng, 4) if rng is not None else [None] * 4
         )
-
-        z = self.encode_first_stage(params, video, keys[0])
-
-        cond_emb = self.encode_text(params, batch["caption_tokens"])
-        prompt_mask, input_mask = self.cfg_dropout_masks(keys[1] if random_uncond else None, b)
-        null_prompt = self.null_text_embedding(params, 1)
-        prompt_emb = jnp.where(prompt_mask, null_prompt, jax.lax.stop_gradient(cond_emb))
+        if cfg.interp_mode:
+            need_full_z = True  # first/last-frame concat needs every latent
 
         if cond_frame_index is None:
             rcf = cfg.rand_cond_frame if rand_cond_frame is None else rand_cond_frame
@@ -289,6 +294,19 @@ class DynamiCrafter:
         take_frame = lambda arr, idx: jnp.take_along_axis(
             arr, idx.reshape(b, 1, 1, 1, 1), axis=1
         ).squeeze(1)
+
+        if need_full_z:
+            z = self.encode_first_stage(params, video, keys[0])
+        else:
+            raw_img = take_frame(video, cond_frame_index)  # (B, H, W, 3)
+            z_cond = self.encode_first_stage(params, raw_img[:, None], keys[0])[:, 0]
+            z = jnp.repeat(z_cond[:, None], t, axis=1)  # shape placeholder
+
+        cond_emb = self.encode_text(params, batch["caption_tokens"])
+        prompt_mask, input_mask = self.cfg_dropout_masks(keys[1] if random_uncond else None, b)
+        null_prompt = self.null_text_embedding(params, 1)
+        prompt_emb = jnp.where(prompt_mask, null_prompt, jax.lax.stop_gradient(cond_emb))
+
         img = take_frame(video, cond_frame_index)  # (B, H, W, 3)
         img = input_mask * img
         img_emb = self.embed_images(params, img)  # (B, 256, 1024)
@@ -298,12 +316,12 @@ class DynamiCrafter:
             first_last = (jnp.arange(t) == 0) | (jnp.arange(t) == t - 1)
             img_cat_cond = jnp.where(first_last[None, :, None, None, None], z, 0.0)
         else:
-            z_cond = take_frame(z, cond_frame_index)
+            z_cond = take_frame(z, cond_frame_index) if need_full_z else z_cond
             img_cat_cond = jnp.repeat(z_cond[:, None], t, axis=1)
 
         cond["c_concat"] = img_cat_cond
         cond["c_cond_frame_index"] = cond_frame_index
-        cond["origin_z0"] = z
+        cond["origin_z0"] = z if need_full_z else None
         cond["c_crossattn"] = jnp.concatenate([prompt_emb, img_emb], axis=1)
 
         if enable_camera_condition:
@@ -473,6 +491,9 @@ class DynamiCrafter:
             cond_frame_index=cond_frame_index,
             enable_camera_condition=enable_camera_condition,
             trace_scale_factor=trace_scale_factor,
+            # full clean latents are consumed only by the paste/overlap
+            # surgery; otherwise encode just the conditioning frame(s)
+            need_full_z=paste_cond_frame or num_overlap > 0,
         )
         b = z.shape[0]
         fs = self.get_fs(batch)

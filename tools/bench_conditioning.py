@@ -130,22 +130,35 @@ def main():
                                              use_mask=True),
         params, z_tokens, emask)
 
-    # --- whole prepare_batch as sample() calls it (sum check)
-    run("prepare_batch_total",
-        lambda p, bt: model.prepare_batch(
+    # --- whole prepare_batch as sample() calls it (sum check). Keep EVERY
+    # cond leaf live (reduce each to a scalar) — returning only z lets XLA
+    # DCE the adaptor/CLIP/camera assembly entirely (first run of this
+    # harness reported 51.6 ms ~= the VAE encode alone).
+    def _live(tree):
+        leaves = [l for l in jax.tree_util.tree_leaves(tree)
+                  if hasattr(l, "dtype")]
+        return sum(jnp.sum(jnp.abs(l[..., :1]).astype(jnp.float32)) for l in leaves)
+
+    def prep_fn(p, bt, full):
+        z, cond = model.prepare_batch(
             p, bt, None, random_uncond=False, rand_cond_frame=False,
-            enable_camera_condition=True)[0],
-        params, batch)
+            enable_camera_condition=True, need_full_z=full)
+        return _live((z, cond))
+
+    run("prepare_batch_total", lambda p, bt: prep_fn(p, bt, True),
+        params, batch, probe=False)
+    run("prepare_batch_trimmed", lambda p, bt: prep_fn(p, bt, False),
+        params, batch, probe=False)
 
     # --- build_uncond on top of a prepared cond (second vision tower + text)
     def uncond_fn(p, bt):
-        _, cond = model.prepare_batch(
+        z, cond = model.prepare_batch(
             p, bt, None, random_uncond=False, rand_cond_frame=False,
             enable_camera_condition=True)
         uc = model.build_uncond(p, cond, b, (IMG, IMG))
-        return uc["c_crossattn"]
+        return _live((z, cond, uc))
 
-    run("prepare_plus_uncond", uncond_fn, params, batch)
+    run("prepare_plus_uncond", uncond_fn, params, batch, probe=False)
 
     rt = rows["null_rt"]
     corrected = {k: round(max(v - rt, 0.0), 2) for k, v in rows.items() if k != "null_rt"}
