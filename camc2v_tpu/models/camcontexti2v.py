@@ -132,6 +132,7 @@ class CamContextI2V(CamI2V):
         trace_scale_factor: float = 1.0,
         adaptor_use_mask: Optional[bool] = None,
         need_full_z: bool = True,
+        prefetch_uncond: bool = False,
     ) -> tuple[jax.Array, dict]:
         """reference: model/camcontexti2v.py:280-491.
 
@@ -257,18 +258,26 @@ class CamContextI2V(CamI2V):
             img_cat_cond = jnp.repeat(z_cond[:, None], t, axis=1)
 
         # ---------------- text + semantic image branch ----------------
-        cond_emb = self.encode_text(params, batch["caption_tokens"])
+        cond_emb, null_prompt = self.encode_text_with_null(params, batch["caption_tokens"])
         prompt_mask, input_mask = self.cfg_dropout_masks(keys[1] if random_uncond else None, b)
-        null_prompt = self.null_text_embedding(params, 1)
         prompt_emb = jnp.where(prompt_mask, null_prompt, jax.lax.stop_gradient(cond_emb))
 
+        uc_img = None
         img = take_frame(video, cond_frame_index)
         if cfg.use_semantic_branch and cond_frames is not None:
             n_ctx = cond_frames.shape[1]
             imgs = jnp.concatenate([img[:, None], cond_frames], axis=1)  # (B, 1+N, H, W, 3)
             imgs = input_mask[:, None] * imgs  # (B,1,1,1,1) broadcast over frames
             imgs = imgs.reshape(b * (1 + n_ctx), H, W, 3)
-            img_emb = self.embed_images(params, imgs)  # (B*(1+N), L, 1024)
+            if prefetch_uncond:
+                # one extra zero row rides along; build_uncond's zero-image
+                # tower (single frame-set) comes out of THIS dispatch
+                emb_all = self.embed_images(
+                    params, jnp.concatenate([imgs, jnp.zeros_like(imgs[:1])], axis=0)
+                )
+                img_emb, uc_img = emb_all[:-1], emb_all[-1:]
+            else:
+                img_emb = self.embed_images(params, imgs)  # (B*(1+N), L, 1024)
             l_tok = img_emb.shape[1]
             img_emb = img_emb.reshape(b, (1 + n_ctx), l_tok, -1)
             if strategy in ("max", "avg") and ctx_valid is not None:
@@ -287,7 +296,13 @@ class CamContextI2V(CamI2V):
                 img_emb = img_emb.reshape(b, (1 + n_ctx) * l_tok, -1)
         else:
             img = input_mask * img
-            img_emb = self.embed_images(params, img)
+            if prefetch_uncond:
+                emb_all = self.embed_images(
+                    params, jnp.concatenate([img, jnp.zeros_like(img[:1])], axis=0)
+                )
+                img_emb, uc_img = emb_all[:b], emb_all[b:]
+            else:
+                img_emb = self.embed_images(params, img)
 
         cond: dict[str, Any] = {
             "c_concat": img_cat_cond,
@@ -295,6 +310,11 @@ class CamContextI2V(CamI2V):
             "origin_z0": z if need_full_z else None,
             "c_crossattn": jnp.concatenate([prompt_emb, img_emb], axis=1),
         }
+        if prefetch_uncond and uc_img is not None:
+            cond["_uncond"] = {
+                "img_emb": jnp.repeat(uc_img, b, axis=0),
+                "prompt_emb": jnp.repeat(null_prompt, b, axis=0),
+            }
         if ctx_valid is not None and cfg.use_semantic_branch and cond_frames is not None:
             # token-level validity for the UNet's image cross-attention branch
             n_ctx = cond_frames.shape[1]

@@ -237,6 +237,18 @@ class DynamiCrafter:
         )[None].repeat(batch_size, axis=0)
         return self.encode_text(params, tokens)
 
+    def encode_text_with_null(self, params: dict, tokens: jax.Array):
+        """One text-tower call for [captions ‖ empty prompt] -> (cond (B,L,C),
+        null (1,L,C)). Sequences are independent in the tower, so this is
+        numerically identical to two calls at ~half the dispatch cost (the
+        77-token tower is latency-bound: 5.5 ms/call measured round 4)."""
+        ct = self.config.clip_text
+        null_tokens = jnp.asarray(
+            empty_prompt_tokens(ct.vocab_size, ct.context_length), jnp.int32
+        )[None]
+        out = self.encode_text(params, jnp.concatenate([tokens, null_tokens], axis=0))
+        return out[:-1], out[-1:]
+
     def cfg_dropout_masks(self, rng: Optional[jax.Array], batch_size: int):
         """(prompt_mask (B,1,1) bool, input_mask (B,1,1,1) float).
 
@@ -264,8 +276,14 @@ class DynamiCrafter:
         enable_camera_condition: bool = True,
         trace_scale_factor: float = 1.0,
         need_full_z: bool = True,
+        prefetch_uncond: bool = False,
     ) -> tuple[jax.Array, dict]:
         """Assemble (z, cond). reference: model/base.py:237-344.
+
+        prefetch_uncond=True batches build_uncond's zero-image/empty-prompt
+        towers into this call's CLIP dispatches (numerically identical; each
+        tower is per-item). The result rides in cond["_uncond"]; sample()
+        strips it after build_uncond consumes it.
 
         need_full_z=False (generation fast path, unavailable in interp_mode):
         the VAE encoder is frame-wise, so when nothing downstream consumes the
@@ -302,16 +320,28 @@ class DynamiCrafter:
             z_cond = self.encode_first_stage(params, raw_img[:, None], keys[0])[:, 0]
             z = jnp.repeat(z_cond[:, None], t, axis=1)  # shape placeholder
 
-        cond_emb = self.encode_text(params, batch["caption_tokens"])
+        cond_emb, null_prompt = self.encode_text_with_null(params, batch["caption_tokens"])
         prompt_mask, input_mask = self.cfg_dropout_masks(keys[1] if random_uncond else None, b)
-        null_prompt = self.null_text_embedding(params, 1)
         prompt_emb = jnp.where(prompt_mask, null_prompt, jax.lax.stop_gradient(cond_emb))
 
         img = take_frame(video, cond_frame_index)  # (B, H, W, 3)
         img = input_mask * img
-        img_emb = self.embed_images(params, img)  # (B, 256, 1024)
+        if prefetch_uncond:
+            # fold build_uncond's zero-image tower into this call (the ViT is
+            # per-image; one extra row replaces a whole second dispatch)
+            emb_all = self.embed_images(
+                params, jnp.concatenate([img, jnp.zeros_like(img[:1])], axis=0)
+            )
+            img_emb, uc_img = emb_all[:b], emb_all[b:]
+        else:
+            img_emb = self.embed_images(params, img)  # (B, 256, 1024)
 
         cond: dict[str, Any] = {}
+        if prefetch_uncond:
+            cond["_uncond"] = {
+                "img_emb": jnp.repeat(uc_img, b, axis=0),
+                "prompt_emb": jnp.repeat(null_prompt, b, axis=0),
+            }
         if cfg.interp_mode:
             first_last = (jnp.arange(t) == 0) | (jnp.arange(t) == t - 1)
             img_cat_cond = jnp.where(first_last[None, :, None, None, None], z, 0.0)
@@ -430,8 +460,13 @@ class DynamiCrafter:
         negative_prompt_tokens: Optional[jax.Array] = None,
     ) -> dict:
         """Unconditional embedding assembly. reference: model/base.py:418-447
-        (uncond_type 'empty_seq' / 'zero_embed' / 'negative_prompt')."""
+        (uncond_type 'empty_seq' / 'zero_embed' / 'negative_prompt').
+
+        When prepare_batch ran with prefetch_uncond=True, the zero-image and
+        empty-prompt embeddings arrive pre-batched in cond["_uncond"] (one
+        CLIP dispatch instead of two extra)."""
         ut = self.config.uncond_type
+        pre = cond.get("_uncond")
         if negative_prompt_tokens is not None or ut == "negative_prompt":
             assert negative_prompt_tokens is not None, "negative_prompt mode needs tokens"
             uc_prompt = self.encode_text(params, negative_prompt_tokens)
@@ -439,11 +474,16 @@ class DynamiCrafter:
             uc_prompt = jnp.zeros_like(
                 cond["c_crossattn"][:, : self.config.clip_text.context_length]
             )
+        elif pre is not None:  # empty_seq, prefetched
+            uc_prompt = pre["prompt_emb"]
         else:  # empty_seq
             uc_prompt = self.null_text_embedding(params, batch_size)
-        zero_img = jnp.zeros((batch_size, *image_hw, 3))
-        uc_img = self.embed_images(params, zero_img)
-        uc = dict(cond)
+        if pre is not None:
+            uc_img = pre["img_emb"]
+        else:
+            zero_img = jnp.zeros((batch_size, *image_hw, 3))
+            uc_img = self.embed_images(params, zero_img)
+        uc = {k: v for k, v in cond.items() if k != "_uncond"}
         uc["c_crossattn"] = jnp.concatenate([uc_prompt, uc_img], axis=1)
         uc.pop("c_crossattn_mask", None)  # the uncond context is single-frame
         return uc
@@ -494,6 +534,8 @@ class DynamiCrafter:
             # full clean latents are consumed only by the paste/overlap
             # surgery; otherwise encode just the conditioning frame(s)
             need_full_z=paste_cond_frame or num_overlap > 0,
+            # fold the uncond CLIP towers into the cond dispatches
+            prefetch_uncond=guidance_scale != 1.0,
         )
         b = z.shape[0]
         fs = self.get_fs(batch)
@@ -524,6 +566,7 @@ class DynamiCrafter:
             if guidance_scale != 1.0
             else None
         )
+        cond.pop("_uncond", None)  # consumed by build_uncond; not model input
         model_out_fn = self.build_guided_fn(
             params, cond, uc, fs,
             guidance_scale=guidance_scale,

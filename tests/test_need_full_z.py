@@ -109,3 +109,45 @@ def test_interp_mode_forces_full_encode():
     batch = _batch()
     _, cond = m.prepare_batch(p, batch, random_uncond=False, need_full_z=False)
     assert cond["origin_z0"] is not None  # interp concat needs every latent
+
+
+@pytest.mark.parametrize("n_ctx", [0, 2])
+def test_prefetch_uncond_matches_separate_towers(camcontext, n_ctx):
+    """prefetch_uncond batches the zero-image/empty-prompt CLIP rows into the
+    cond dispatches; build_uncond must produce the same uc either way."""
+    m, p = camcontext
+    batch = _batch(n_ctx=n_ctx)
+    hw = (IMG, IMG)
+    _, cond_a = m.prepare_batch(p, batch, random_uncond=False)
+    uc_a = m.build_uncond(p, cond_a, 1, hw)
+    _, cond_b = m.prepare_batch(p, batch, random_uncond=False, prefetch_uncond=True)
+    assert "_uncond" in cond_b
+    uc_b = m.build_uncond(p, cond_b, 1, hw)
+    assert "_uncond" not in uc_b
+    for k in uc_a:
+        if k == "origin_z0" or uc_a[k] is None:
+            continue
+        if k == "camera":
+            continue
+        np.testing.assert_allclose(
+            np.asarray(uc_a[k], np.float32), np.asarray(uc_b[k], np.float32),
+            atol=2e-4, err_msg=k,
+        )
+    # cond itself is unchanged by the prefetch (modulo the _uncond stash)
+    np.testing.assert_allclose(
+        np.asarray(cond_a["c_crossattn"]), np.asarray(cond_b["c_crossattn"]), atol=2e-4
+    )
+
+
+def test_prefetch_uncond_base_model():
+    cfg = DynamiCrafterConfig(unet=unet(), **BASE)
+    m = DynamiCrafter(cfg, dtype=jnp.float32)
+    p = m.init_params(jax.random.key(0), (IMG, IMG))
+    batch = _batch()
+    _, cond_a = m.prepare_batch(p, batch, random_uncond=False)
+    uc_a = m.build_uncond(p, cond_a, 1, (IMG, IMG))
+    _, cond_b = m.prepare_batch(p, batch, random_uncond=False, prefetch_uncond=True)
+    uc_b = m.build_uncond(p, cond_b, 1, (IMG, IMG))
+    np.testing.assert_allclose(
+        np.asarray(uc_a["c_crossattn"]), np.asarray(uc_b["c_crossattn"]), atol=2e-4
+    )
