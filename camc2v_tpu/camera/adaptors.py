@@ -90,6 +90,9 @@ class MultiLatentEpipolarAdaptor(nn.Module):
         plucker_embedding_features: Optional[jax.Array] = None,
         *,
         use_mask: Optional[bool] = None,
+        lines: Optional[jax.Array] = None,
+        geom: Optional[tuple[int, int, int, int, int]] = None,
+        tile_any: Optional[jax.Array] = None,
     ) -> jax.Array:
         video_length = self.video_length if self.video_length is not None else 16
         total_queries = self.num_queries * (video_length if self.video_length is not None else 1)
@@ -114,7 +117,13 @@ class MultiLatentEpipolarAdaptor(nn.Module):
         if plucker_embedding_features is not None:
             pl = Dense(self.query_dim, dtype=self.dtype, name="plucker_in")(plucker_embedding_features)
 
-        effective_mask = mask if (self.use_mask if use_mask is None else use_mask) else None
+        masking = self.use_mask if use_mask is None else use_mask
+        effective_mask = mask if masking else None
+        # in-kernel mask mode (generation fast path): epipolar lines of every
+        # query vs the 1+N key frames; the flash kernel recomputes the mask
+        # per tile and skips invisible SUBTILE key ranges — no (B, Lq, Lk)
+        # bools, ~mask-density of the VPU softmax work skipped
+        kernel_geom = geom if (masking and lines is not None) else None
 
         for i in range(self.depth):
             if pl is not None:
@@ -133,7 +142,13 @@ class MultiLatentEpipolarAdaptor(nn.Module):
                 num_register_tokens=self.num_register_tokens,
                 dtype=self.dtype,
                 name=f"attn_{i}",
-            )(inp, x, effective_mask) + latents
+            )(
+                inp, x,
+                None if kernel_geom is not None else effective_mask,
+                lines=lines if kernel_geom is not None else None,
+                geom=kernel_geom,
+                tile_any=tile_any if kernel_geom is not None else None,
+            ) + latents
             latents = ResamplerFeedForward(self.query_dim, self.ff_mult, dtype=self.dtype, name=f"ff_{i}")(latents) + latents
 
         if self.timestep_embedding_type != "none":

@@ -247,6 +247,23 @@ def conditional_epipolar_mask(
     Returns: (B, T*hw, (C[+1])*hw) bool.
     reference: model/camcontexti2v.py:493-521.
     """
+    F = conditional_fundamental(camera_intrinsics, w2c_RT, w2c_RT_cond, cond_frame_index)
+    T = F.shape[1]
+    return epipolar_mask(F, T, H // downsample, W // downsample, downsample, config)
+
+
+def conditional_fundamental(
+    camera_intrinsics: jax.Array,
+    w2c_RT: jax.Array,
+    w2c_RT_cond: jax.Array,
+    cond_frame_index: Optional[jax.Array],
+) -> jax.Array:
+    """Fundamental matrices between target frames and [cond ‖ context] frames.
+
+    (B, T, C[+1], 3, 3) — queries are target frames, keys the context frames
+    (cond-frame pose prepended when `cond_frame_index` is given). Shared by
+    the materialised `conditional_epipolar_mask` and the in-kernel-mask
+    adaptor path (ops/epipolar_flash.py epipolar_lines consumes this F)."""
     K = _f32(camera_intrinsics)
     c2w = jnp.linalg.inv(_f32(w2c_RT))
     c2w_cond = jnp.linalg.inv(_f32(w2c_RT_cond))
@@ -262,5 +279,4 @@ def conditional_epipolar_mask(
     C = R.shape[2]
     T = R.shape[1]
     K_pairs = jnp.broadcast_to(K[:, :, None], (K.shape[0], T, C, 3, 3))
-    F = fundamental_matrix(K_pairs, R, t)
-    return epipolar_mask(F, T, H // downsample, W // downsample, downsample, config)
+    return fundamental_matrix(K_pairs, R, t)

@@ -133,6 +133,7 @@ class CamContextI2V(CamI2V):
         adaptor_use_mask: Optional[bool] = None,
         need_full_z: bool = True,
         prefetch_uncond: bool = False,
+        inference: bool = False,
     ) -> tuple[jax.Array, dict]:
         """reference: model/camcontexti2v.py:280-491.
 
@@ -201,36 +202,78 @@ class CamContextI2V(CamI2V):
             hl, wl = z.shape[2:4]
             z_tokens = z_inp.reshape(b, (1 + n_ctx) * hl * wl, z.shape[-1])
 
-            epi_mask = None
-            if strategy == "token_concat_latent_epipolar" and cfg.adaptor.use_mask:
-                from camc2v_tpu.nn.epipolar import EpipolarConfig
+            masking_on = cfg.adaptor.use_mask if adaptor_use_mask is None else adaptor_use_mask
+            use_kernel_mask = False
+            if (
+                inference
+                and ctx_valid is None
+                and masking_on
+                and strategy == "token_concat_latent_epipolar"
+            ):
+                from camc2v_tpu.nn.epipolar import EpipolarConfig, plain_epipolar
+                from camc2v_tpu.ops import epipolar_flash as ef
 
-                epi_mask = G.conditional_epipolar_mask(
-                    batch["camera_intrinsics"], batch["RT"], batch["RT_cond"],
-                    cond_frame_index, H, W, downsample=8,
-                    config=cfg.epipolar if cfg.epipolar is not None else EpipolarConfig(),
-                )
-
-            eff_use_mask = adaptor_use_mask
-            if ctx_valid is not None:
-                # validity columns: cond-frame tokens always visible, padded
-                # context frames never (freeze phases drop only the epipolar
-                # component, not the validity)
-                token_valid = jnp.concatenate(
-                    [jnp.ones((b, 1), bool), ctx_valid], axis=1
-                )
-                token_valid = jnp.repeat(token_valid, hl * wl, axis=1)  # (B, (1+N)*hw)
+                epi_cfg = cfg.epipolar if cfg.epipolar is not None else EpipolarConfig()
+                hw = hl * wl
                 lq_adapt = cfg.adaptor.num_queries * cfg.adaptor.video_length
-                use_epi = (
-                    cfg.adaptor.use_mask if adaptor_use_mask is None else adaptor_use_mask
-                ) and epi_mask is not None
-                base = epi_mask if use_epi else jnp.ones((b, lq_adapt, z_tokens.shape[1]), bool)
-                epi_mask = base & token_valid[:, None, :]
-                eff_use_mask = True
+                use_kernel_mask = (
+                    plain_epipolar(epi_cfg)
+                    and cfg.adaptor.num_queries == hw  # one query per latent pixel
+                    and hw >= 256
+                    and lq_adapt % ef.BLOCK_Q == 0
+                    and (hw % ef.BLOCK_K == 0 or hw % 256 == 0)
+                )
 
-            img_cat_cond = self.adaptor.apply(
-                {"params": params["adaptor"]}, z_tokens, epi_mask, use_mask=eff_use_mask
-            )  # (B, T*hw, 4)
+            if use_kernel_mask:
+                # generation fast path: mask recomputed IN-KERNEL from the
+                # epipolar lines with SUBTILE skipping — the materialised
+                # (B, 16K, 3K) bool mask + dense-masked softmax was 65% of the
+                # 35-44 ms flagship adaptor (docs/profiles r4 adaptor trace)
+                blk = ef.BLOCK_K if hw % ef.BLOCK_K == 0 else hw
+                F_cond = G.conditional_fundamental(
+                    batch["camera_intrinsics"], batch["RT"], batch["RT_cond"],
+                    cond_frame_index,
+                )
+                adapt_lines = ef.epipolar_lines(F_cond, hl, wl, 8)
+                adapt_tiles = ef.epipolar_tile_map(
+                    adapt_lines, 1 + n_ctx, hl, wl, 8, block_q=ef.BLOCK_Q, block_k=blk
+                )
+                img_cat_cond = self.adaptor.apply(
+                    {"params": params["adaptor"]}, z_tokens, None, use_mask=True,
+                    lines=adapt_lines, geom=(1 + n_ctx, hl, wl, 8, blk),
+                    tile_any=adapt_tiles,
+                )  # (B, T*hw, 4)
+            else:
+                epi_mask = None
+                if strategy == "token_concat_latent_epipolar" and cfg.adaptor.use_mask:
+                    from camc2v_tpu.nn.epipolar import EpipolarConfig
+
+                    epi_mask = G.conditional_epipolar_mask(
+                        batch["camera_intrinsics"], batch["RT"], batch["RT_cond"],
+                        cond_frame_index, H, W, downsample=8,
+                        config=cfg.epipolar if cfg.epipolar is not None else EpipolarConfig(),
+                    )
+
+                eff_use_mask = adaptor_use_mask
+                if ctx_valid is not None:
+                    # validity columns: cond-frame tokens always visible, padded
+                    # context frames never (freeze phases drop only the epipolar
+                    # component, not the validity)
+                    token_valid = jnp.concatenate(
+                        [jnp.ones((b, 1), bool), ctx_valid], axis=1
+                    )
+                    token_valid = jnp.repeat(token_valid, hl * wl, axis=1)  # (B, (1+N)*hw)
+                    lq_adapt = cfg.adaptor.num_queries * cfg.adaptor.video_length
+                    use_epi = (
+                        cfg.adaptor.use_mask if adaptor_use_mask is None else adaptor_use_mask
+                    ) and epi_mask is not None
+                    base = epi_mask if use_epi else jnp.ones((b, lq_adapt, z_tokens.shape[1]), bool)
+                    epi_mask = base & token_valid[:, None, :]
+                    eff_use_mask = True
+
+                img_cat_cond = self.adaptor.apply(
+                    {"params": params["adaptor"]}, z_tokens, epi_mask, use_mask=eff_use_mask
+                )  # (B, T*hw, 4)
             original_cond = take_frame(z, cond_frame_index)  # (B, h, w, 4)
 
             if cfg.use_cross_normalization:

@@ -277,8 +277,14 @@ class DynamiCrafter:
         trace_scale_factor: float = 1.0,
         need_full_z: bool = True,
         prefetch_uncond: bool = False,
+        inference: bool = False,
     ) -> tuple[jax.Array, dict]:
         """Assemble (z, cond). reference: model/base.py:237-344.
+
+        inference=True marks the generation context: subclasses may take
+        numerically-identical fast paths that are only valid (or only
+        profitable) outside training (e.g. CamContextI2V's in-kernel adaptor
+        mask, whose Pallas VJP is never exercised at inference).
 
         prefetch_uncond=True batches build_uncond's zero-image/empty-prompt
         towers into this call's CLIP dispatches (numerically identical; each
@@ -536,6 +542,7 @@ class DynamiCrafter:
             need_full_z=paste_cond_frame or num_overlap > 0,
             # fold the uncond CLIP towers into the cond dispatches
             prefetch_uncond=guidance_scale != 1.0,
+            inference=True,
         )
         b = z.shape[0]
         fs = self.get_fs(batch)

@@ -477,7 +477,11 @@ def _epipolar_flash_fwd_impl(
     b, lq, heads, d = q.shape
     lk = k.shape[1]
     hw = h * w
-    assert lq == t * h * w and lk == lq + block_k, (lq, lk, t, h, w, block_k)
+    # Lq is decoupled from the key layout: square (self) attention has
+    # lq == t*h*w; the conditional-adaptor path attends t_q*h*w learned
+    # queries over t = 1+n_ctx key frames (lines carry one row per query).
+    assert lines.shape == (b, lq, t, 3), (lines.shape, (b, lq, t, 3))
+    assert lk == t * h * w + block_k, (lq, lk, t, h, w, block_k)
     assert (hw % block_k == 0) or (block_k % hw == 0 and (t * hw) % block_k == 0)
     assert lq % block_q == 0
     nq = lq // block_q
