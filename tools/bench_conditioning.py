@@ -130,6 +130,22 @@ def main():
                                              use_mask=True),
         params, z_tokens, emask)
 
+    # --- same adaptor with the in-kernel lines path (generation dispatch)
+    from camc2v_tpu.ops import epipolar_flash as ef
+
+    F_cond = G.conditional_fundamental(
+        batch["camera_intrinsics"], batch["RT"], batch["RT_cond"],
+        jnp.zeros((b,), jnp.int32))
+    adapt_lines = ef.epipolar_lines(F_cond, hl, wl, 8)
+    blk = ef.BLOCK_K if (hl * wl) % ef.BLOCK_K == 0 else hl * wl
+    adapt_tiles = ef.epipolar_tile_map(
+        adapt_lines, 1 + n_ctx, hl, wl, 8, block_q=ef.BLOCK_Q, block_k=blk)
+    run("adaptor_depth12_kernel",
+        lambda p, zt, ln, ta: model.adaptor.apply(
+            {"params": p["adaptor"]}, zt, None, use_mask=True,
+            lines=ln, geom=(1 + n_ctx, hl, wl, 8, blk), tile_any=ta),
+        params, z_tokens, adapt_lines, adapt_tiles)
+
     # --- whole prepare_batch as sample() calls it (sum check). Keep EVERY
     # cond leaf live (reduce each to a scalar) — returning only z lets XLA
     # DCE the adaptor/CLIP/camera assembly entirely (first run of this
