@@ -155,15 +155,20 @@ def main():
                   if hasattr(l, "dtype")]
         return sum(jnp.sum(jnp.abs(l[..., :1]).astype(jnp.float32)) for l in leaves)
 
-    def prep_fn(p, bt, full):
+    def prep_fn(p, bt, full, **kw):
         z, cond = model.prepare_batch(
             p, bt, None, random_uncond=False, rand_cond_frame=False,
-            enable_camera_condition=True, need_full_z=full)
+            enable_camera_condition=True, need_full_z=full, **kw)
         return _live((z, cond))
 
     run("prepare_batch_total", lambda p, bt: prep_fn(p, bt, True),
         params, batch, probe=False)
     run("prepare_batch_trimmed", lambda p, bt: prep_fn(p, bt, False),
+        params, batch, probe=False)
+    # the full production fast path: trimmed encode + batched uncond towers +
+    # in-kernel adaptor mask (what sample() actually runs since round 4)
+    run("prepare_batch_fast",
+        lambda p, bt: prep_fn(p, bt, False, prefetch_uncond=True, inference=True),
         params, batch, probe=False)
 
     # --- build_uncond on top of a prepared cond (second vision tower + text)
