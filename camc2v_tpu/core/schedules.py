@@ -258,6 +258,31 @@ def get_v(schedule: DiffusionSchedule, x: jax.Array, noise: jax.Array, t: jax.Ar
     )
 
 
+def predict_start_from_noise(
+    schedule: DiffusionSchedule, x_t: jax.Array, t: jax.Array, noise: jax.Array
+) -> jax.Array:
+    """x0-hat from an eps prediction. reference: ddpm3d.py:233-238."""
+    return (
+        extract(schedule.sqrt_recip_alphas_cumprod, t, x_t.ndim) * x_t
+        - extract(schedule.sqrt_recipm1_alphas_cumprod, t, x_t.ndim) * noise
+    )
+
+
+def q_posterior(
+    schedule: DiffusionSchedule, x_start: jax.Array, x_t: jax.Array, t: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Mean and clipped log-variance of q(x_{t-1} | x_t, x0).
+
+    reference: ddpm3d.py:254-261 (q_posterior); the variance itself is unused
+    by the sampler (p_sample consumes the clipped log-variance only).
+    """
+    mean = (
+        extract(schedule.posterior_mean_coef1, t, x_t.ndim) * x_start
+        + extract(schedule.posterior_mean_coef2, t, x_t.ndim) * x_t
+    )
+    return mean, extract(schedule.posterior_log_variance_clipped, t, x_t.ndim)
+
+
 def predict_start_from_z_and_v(schedule: DiffusionSchedule, x_t: jax.Array, t: jax.Array, v: jax.Array) -> jax.Array:
     return (
         extract(schedule.sqrt_alphas_cumprod, t, x_t.ndim) * x_t

@@ -38,7 +38,12 @@ import jax.numpy as jnp
 
 from camc2v_tpu.core import distributions as D
 from camc2v_tpu.core.schedules import DDIMSchedule, DiffusionSchedule, extract, q_sample
-from camc2v_tpu.models.sampler import SamplerOptions, ddim_sample, dpmpp_2m_sample
+from camc2v_tpu.models.sampler import (
+    SamplerOptions,
+    ddim_sample,
+    dpmpp_2m_sample,
+    p_sample_loop,
+)
 from camc2v_tpu.nn.clip import (
     CLIPTextConfig,
     CLIPTextTower,
@@ -440,6 +445,41 @@ class DynamiCrafter:
         loss = loss_simple.mean()
         return loss, {"loss_simple": loss_simple.mean(), "loss": loss}
 
+    def debug_probe(self, params: dict, batch: dict, rng: jax.Array, t_value=None) -> dict:
+        """One denoiser eval with per-layer intermediate capture (debug mode).
+
+        The JAX-native equivalent of the reference ModelWatcherCallback's
+        fwd-hook activation capture (reference: main/callbacks.py:436-737,
+        log_intermediate_values_fwd): flax `capture_intermediates` records
+        every submodule's __call__ output on a single probe step; the caller
+        (ModelWatcher / tools) summarises them with
+        `main.callbacks.intermediates_report` to name the first layer that
+        produced a NaN/Inf and dump the full per-layer stats to disk.
+
+        Returns {"output": eps-hat, "intermediates": nested capture tree}.
+        """
+        bkey, tkey, nkey = jax.random.split(rng, 3)
+        z, cond = self.prepare_batch(params, batch, bkey, random_uncond=False)
+        fs = self.get_fs(batch)
+        b = z.shape[0]
+        tv = self.config.timesteps // 2 if t_value is None else t_value
+        t = jnp.full((b,), tv, jnp.int32)
+        noise = jax.random.normal(nkey, z.shape, z.dtype)
+        x_noisy = q_sample(self.schedule, z, t, noise)
+        xc = jnp.concatenate([x_noisy, cond["c_concat"]], axis=-1)
+        out, state = self.unet.apply(
+            {"params": params["unet"]},
+            xc,
+            t,
+            cond["c_crossattn"],
+            fs,
+            cond.get("camera"),
+            context_mask=cond.get("c_crossattn_mask"),
+            capture_intermediates=True,
+            mutable=["intermediates"],
+        )
+        return {"output": out, "intermediates": state["intermediates"]}
+
     def training_loss(
         self, params: dict, batch: dict, rng: jax.Array, **prepare_kwargs
     ) -> tuple[jax.Array, dict]:
@@ -595,6 +635,23 @@ class DynamiCrafter:
             # inpainting blend re-imposed every step (dpmpp lacks the blend —
             # it is a DDIM-loop reference feature)
             extra = {"blend_mask": blend_mask, "blend_x0": blend_x0}
+        if sampler == "ddpm":
+            # ancestral p_sample_loop over the FULL DDPM table — parity with
+            # the reference's sample_log(..., ddim=False) -> LatentDiffusion
+            # .sample -> p_sample_loop (ddpm3d.py:974-986). ddim_steps / eta /
+            # spacing are DDIM-only knobs and are ignored; paste/overlap latent
+            # surgery and dynamic rescale are DDIM-sampler features the
+            # reference ancestral loop does not implement.
+            if paste_cond_frame or num_overlap > 0:
+                raise ValueError("paste/overlap surgery requires sampler='ddim'")
+            samples = p_sample_loop(
+                skey, self.schedule, x_T, model_out_fn,
+                options=options, **extra,
+            )
+            out = self.decode_first_stage(params, samples) if decode else samples
+            if return_cond:
+                return out, cond
+            return out
         if sampler == "ddim":
             sample_fn = ddim_sample
         elif sampler in ("dpmpp_2m", "dpmpp"):
@@ -602,7 +659,7 @@ class DynamiCrafter:
             if extra:
                 raise ValueError("blend_mask/blend_x0 requires sampler='ddim'")
         else:
-            raise ValueError(f"unknown sampler {sampler!r} (ddim | dpmpp_2m)")
+            raise ValueError(f"unknown sampler {sampler!r} (ddim | dpmpp_2m | ddpm)")
         samples = sample_fn(
             skey,
             ddim,

@@ -25,7 +25,9 @@ from camc2v_tpu.core.schedules import (
     DDIMSchedule,
     DiffusionSchedule,
     predict_eps_from_z_and_v,
+    predict_start_from_noise,
     predict_start_from_z_and_v,
+    q_posterior,
     q_sample,
 )
 
@@ -179,6 +181,82 @@ def ddim_sample(
         x = jnp.where(overlap_sel, origin_z0, x)
     if opt.paste_cond_frame:
         x = jnp.where(cond_sel, origin_z0, x)
+    return x
+
+
+def p_sample_loop(
+    rng: jax.Array,
+    schedule: DiffusionSchedule,
+    x_T: jax.Array,
+    model_out_fn: ModelOutFn,
+    *,
+    options: SamplerOptions = SamplerOptions(),
+    clip_denoised: bool = False,
+    t_start: Optional[int] = None,
+    blend_mask: Optional[jax.Array] = None,
+    blend_x0: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Ancestral DDPM sampling loop as one `lax.scan`.
+
+    Re-derives `p_sample`/`p_sample_loop` of the reference
+    (CamContextI2V/lvdm/models/ddpm3d.py:277-305 base DDPM and :905-972
+    conditioned LatentDiffusion variant — reachable there via
+    `LatentDiffusion.sample(..., ddim=False)`). Per step, descending from
+    t_start-1 (default: the full DDPM table) to 0:
+
+      x0-hat from the model output (eps or x0 parameterization; optionally
+      clamped to [-1, 1]), then the posterior q(x_{t-1} | x_t, x0-hat) mean
+      plus exp(0.5 * log sigma^2_t) noise gated off at t == 0, then the
+      optional mask/x0 inpainting blend re-imposed AFTER the update, noised
+      to the CURRENT t (the ancestral loop has no clean_cond variant,
+      ddpm3d.py:961-963).
+
+    temperature / noise_dropout follow the reference p_sample
+    (ddpm3d.py:906-924). v-parameterization is rejected exactly as the
+    reference p_mean_variance does (ddpm3d.py:889-894 raises).
+    """
+    opt = options
+    if opt.parameterization not in ("eps", "x0"):
+        raise NotImplementedError(
+            f"ancestral sampling supports eps/x0 only (reference "
+            f"p_mean_variance parity), got {opt.parameterization!r}"
+        )
+    T = schedule.num_timesteps if t_start is None else min(t_start, schedule.num_timesteps)
+    b = x_T.shape[0]
+    if blend_mask is not None:
+        assert blend_x0 is not None, "blend_mask needs blend_x0 (reference ddpm3d.py:949-951)"
+
+    def body(carry, idx):
+        x, key = carry
+        key, nkey, bkey = jax.random.split(key, 3)
+        i = T - 1 - idx  # ddpm timestep, T-1 .. 0
+        t = jnp.full((b,), i, dtype=jnp.int32)
+
+        model_output = model_out_fn(x, t)
+        if opt.parameterization == "x0":
+            x_recon = model_output
+        else:
+            x_recon = predict_start_from_noise(schedule, x, t, model_output)
+        if clip_denoised:
+            x_recon = jnp.clip(x_recon, -1.0, 1.0)
+        mean, log_var = q_posterior(schedule, x_recon, x, t)
+
+        noise = jax.random.normal(nkey, x.shape, x.dtype) * opt.temperature
+        if opt.noise_dropout > 0:
+            key, dkey = jax.random.split(key)
+            keep = jax.random.bernoulli(dkey, 1.0 - opt.noise_dropout, x.shape)
+            noise = noise * keep / (1.0 - opt.noise_dropout)
+        nonzero = (i != 0).astype(x.dtype)  # no noise at the final step
+        x = mean + nonzero * jnp.exp(0.5 * log_var) * noise
+
+        if blend_mask is not None:
+            img_orig = q_sample(
+                schedule, blend_x0, t, jax.random.normal(bkey, blend_x0.shape, x.dtype)
+            )
+            x = img_orig * blend_mask + (1.0 - blend_mask) * x
+        return (x, key), None
+
+    (x, _), _ = jax.lax.scan(body, (x_T, rng), jnp.arange(T))
     return x
 
 

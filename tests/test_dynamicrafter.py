@@ -138,6 +138,32 @@ def test_dpmpp_sample_end_to_end(model_and_params):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
 
 
+def test_ddpm_ancestral_sample_end_to_end(model_and_params):
+    """sampler='ddpm' runs the ancestral p_sample_loop over the FULL DDPM
+    table (reference sample_log(..., ddim=False) -> p_sample_loop,
+    ddpm3d.py:974-986) through the same guided-CFG closure."""
+    model, params = model_and_params
+    out = model.sample(
+        params, _batch(), jax.random.key(11),
+        guidance_scale=7.5, sampler="ddpm", decode=False,
+    )
+    assert out.shape == (1, T, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # ancestral: the trajectory is stochastic per key but reproducible
+    out2 = model.sample(
+        params, _batch(), jax.random.key(11),
+        guidance_scale=7.5, sampler="ddpm", decode=False,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    try:
+        model.sample(params, _batch(), jax.random.key(11), sampler="ddpm",
+                     paste_cond_frame=True, decode=False)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("ddpm + paste surgery must raise")
+
+
 def test_cfg_interval_full_matches_plain_cfg(model_and_params):
     """cfg_interval spanning every timestep is the identity on the CFG path.
 

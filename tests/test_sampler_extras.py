@@ -174,6 +174,108 @@ def test_blend_mask_zero_is_noop():
     np.testing.assert_allclose(np.asarray(blended), np.asarray(base), rtol=1e-6)
 
 
+# ------------------------------------------------- ancestral DDPM p_sample_loop
+
+
+def test_p_sample_loop_zero_eps_temperature0_product():
+    """temperature=0 kills the posterior noise, so with eps-hat == 0 every step
+    is x_{t-1} = (coef1[t] * sqrt_recip_abar[t] + coef2[t]) * x_t — the loop
+    contracts x_T by the product of those factors (reference p_sample formula,
+    ddpm3d.py:277-283 with noise = 0)."""
+    from camc2v_tpu.models.sampler import p_sample_loop
+
+    out = p_sample_loop(
+        jax.random.key(0), SCHED, jnp.ones(SHAPE), _zero_model,
+        options=SamplerOptions(temperature=0.0),
+    )
+    c1 = np.asarray(SCHED.posterior_mean_coef1)
+    c2 = np.asarray(SCHED.posterior_mean_coef2)
+    sr = np.asarray(SCHED.sqrt_recip_alphas_cumprod)
+    expected = float(np.prod(c1 * sr + c2))
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4)
+
+
+def test_p_sample_loop_exact_denoiser_recovers_x0():
+    """With the exact eps-predictor the posterior mean at every step points at
+    x0_true; at t == 0 coef1 == 1, coef2 == 0 and the noise is gated off, so
+    the loop lands on x0_true exactly (the ancestral-consistency invariant)."""
+    from camc2v_tpu.models.sampler import p_sample_loop
+
+    x0_true = jnp.full(SHAPE, 0.42)
+    x_T = jax.random.normal(jax.random.key(0), SHAPE)
+    out = p_sample_loop(jax.random.key(1), SCHED, x_T, _exact_eps_model(x0_true))
+    np.testing.assert_allclose(np.asarray(out), 0.42, atol=1e-3)
+
+
+def test_p_sample_loop_deterministic_and_noisy():
+    from camc2v_tpu.models.sampler import p_sample_loop
+
+    x_T = jax.random.normal(jax.random.key(2), SHAPE)
+    a = p_sample_loop(jax.random.key(7), SCHED, x_T, _zero_model)
+    b = p_sample_loop(jax.random.key(7), SCHED, x_T, _zero_model)
+    c = p_sample_loop(jax.random.key(8), SCHED, x_T, _zero_model)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(c))  # ancestral noise is live
+    assert np.isfinite(np.asarray(a)).all()
+
+
+def test_p_sample_loop_clip_denoised_bounds_x_recon():
+    """clip_denoised clamps x0-hat to [-1, 1] (reference ddpm3d.py:269-270):
+    with eps-hat == 0 and a huge x_T, the temperature-0 trajectory then decays
+    through the posterior coef2 products instead of blowing up unclipped."""
+    from camc2v_tpu.models.sampler import p_sample_loop
+
+    x_T = jnp.full(SHAPE, 50.0)
+    opts = SamplerOptions(temperature=0.0)
+    clipped = p_sample_loop(jax.random.key(0), SCHED, x_T, _zero_model,
+                            options=opts, clip_denoised=True)
+    unclipped = p_sample_loop(jax.random.key(0), SCHED, x_T, _zero_model, options=opts)
+    assert float(jnp.abs(clipped).max()) < float(jnp.abs(unclipped).max())
+    # with x_recon pinned at 1, the recursion x_{t-1} = c1[t] + c2[t] x_t has
+    # fixed point 1 as t -> 0 (c1[0] == 1, c2[0] == 0)
+    np.testing.assert_allclose(np.asarray(clipped), 1.0, atol=1e-4)
+
+
+def test_p_sample_loop_blend_mask_pins_region():
+    """The mask/x0 blend is re-imposed AFTER each update (reference
+    ddpm3d.py:961-963); the final iteration blends q_sample(x0, t=0) which is
+    x0 up to sqrt(1 - abar_0) noise."""
+    from camc2v_tpu.models.sampler import p_sample_loop
+
+    x0 = jnp.full(SHAPE, 0.5)
+    out = p_sample_loop(
+        jax.random.key(0), SCHED, jnp.ones(SHAPE), _zero_model,
+        blend_mask=jnp.ones(SHAPE), blend_x0=x0,
+    )
+    tol = 5 * float(np.sqrt(1.0 - np.asarray(SCHED.alphas_cumprod)[0]))
+    np.testing.assert_allclose(np.asarray(out), 0.5, atol=tol)
+
+
+def test_p_sample_loop_t_start_truncates():
+    from camc2v_tpu.models.sampler import p_sample_loop
+
+    x_T = jax.random.normal(jax.random.key(4), SHAPE)
+    opts = SamplerOptions(temperature=0.0)
+    out = p_sample_loop(jax.random.key(0), SCHED, x_T, _zero_model,
+                        options=opts, t_start=5)
+    c1 = np.asarray(SCHED.posterior_mean_coef1)[:5]
+    c2 = np.asarray(SCHED.posterior_mean_coef2)[:5]
+    sr = np.asarray(SCHED.sqrt_recip_alphas_cumprod)[:5]
+    expected = np.asarray(x_T) * np.prod(c1 * sr + c2)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4)
+
+
+def test_p_sample_loop_rejects_v_param():
+    from camc2v_tpu.models.sampler import p_sample_loop
+
+    try:
+        p_sample_loop(jax.random.key(0), SCHED, jnp.ones(SHAPE), _zero_model,
+                      options=SamplerOptions(parameterization="v"))
+    except NotImplementedError:
+        return
+    raise AssertionError("v-parameterization must raise (reference parity)")
+
+
 def test_blend_mask_noised_cond_finite():
     """clean_cond=False path q_samples x0 each step (needs the full schedule)."""
     out = ddim_sample(
