@@ -71,6 +71,12 @@ def main():
 
     import jax
 
+    if os.environ.get("CAMC2V_FORCE_CPU") == "1":
+        # host-only mode (parity-gate dry runs, CI): the axon backend is
+        # single-claim, so opting out must happen before first device use —
+        # and the env var alone is overridden by the backend registration
+        jax.config.update("jax_platforms", "cpu")
+
     # multi-host generation (reference: trainer.test over DDP ranks,
     # 02_generate_videos.py:461-621 + main/trainer.py:192-194): each process
     # takes a rank-strided shard of the dataset and runs the single-device

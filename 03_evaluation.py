@@ -114,6 +114,10 @@ def run_camera(dirs: list[str], trials: int = 5, verbose: bool = False) -> dict:
 
 
 def main():
+    if os.environ.get("CAMC2V_FORCE_CPU") == "1":
+        import jax  # single-claim axon backend: opt out before first use
+
+        jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
     ap.add_argument("--path", required=True, help="generation output directory")
     ap.add_argument("--output", default="results")
