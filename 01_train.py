@@ -120,8 +120,17 @@ def main():
         CB.MetricsLogger(dirs["loginfo"], interval=1 if args.debug else 50, sinks=sinks),
         CB.DeviceMonitor(interval=10 if args.debug else 100),
     ]
+    watcher = None
     if args.debug:
-        cbs += [CB.LiveProfiler(interval=5), CB.ModelWatcher(raise_on_error=False)]
+        # reference --debug parity (01_train.py:292-299 + ModelWatcherCallback):
+        # numeric sanitizer + per-layer capture probe on alert, reports dumped
+        # under loginfo/watcher (probe_fn wired after the trainer exists)
+        watcher = CB.ModelWatcher(
+            raise_on_error=False,
+            log_dir=os.path.join(dirs["loginfo"], "watcher"),
+            probe_every=0,
+        )
+        cbs += [CB.LiveProfiler(interval=5), watcher]
 
     # periodic sample logging (reference ImageLogger, every 2500 opt steps)
     batch_logger_cfg = lightning.get("callbacks", {}).get("batch_logger", {}).get("params", {})
@@ -184,6 +193,14 @@ def main():
         mesh=mesh,
         seed=args.seed,
     )
+    if watcher is not None:
+        def _probe():
+            probe_state = trainer.last_state
+            p = probe_state.params if probe_state is not None else params
+            return model.debug_probe(p, trainer.last_batch, jax.random.key(args.seed))
+
+        watcher.probe_fn = _probe
+
     trainer.fit(state, resume=args.resume)
     log.info("training finished")
 

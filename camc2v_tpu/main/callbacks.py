@@ -88,20 +88,139 @@ class DeviceMonitor(Callback):
         logger.info(f"[device] step={step} step_time={dt:.3f}s peak_hbm={peak:.2f}GiB")
 
 
-class ModelWatcher(Callback):
-    """Numeric sanitizer: NaN/Inf/bounds on loss, grad norm, params (debug)."""
+def intermediates_report(
+    intermediates: dict,
+    lower_bound_warn: float = 1e-7,
+    upper_bound_warn: float = 1e4,
+) -> dict:
+    """Per-layer stats over a flax `capture_intermediates` tree.
 
-    def __init__(self, check_params_every: int = 100, param_bound: float = 1e4, raise_on_error: bool = True):
+    The analysis half of the reference ModelWatcherCallback's activation
+    capture (reference: main/callbacks.py:489-712 — per-layer NaN/Inf counts,
+    under/over-bound element counts, dump to disk). Layer names are the module
+    paths in call order; `first_bad` is the first layer (by call order) whose
+    output contains a NaN or Inf — the divergence point when a flagship train
+    run blows up mid-network.
+
+    Returns {"layers": [record...], "first_bad": name|None, "n_bad": int}.
+    """
+    from collections.abc import Mapping
+
+    # walk the raw mapping in INSERTION order: flax sows intermediates at call
+    # time, so dict insertion order is call order (tree_flatten would sort
+    # keys alphabetically and scramble "first bad layer")
+    flat: list[tuple[str, Any]] = []
+
+    def _walk(node, prefix):
+        if isinstance(node, Mapping):
+            for k, v in node.items():
+                _walk(v, prefix if k == "__call__" else prefix + [str(k)])
+        elif isinstance(node, (tuple, list)):
+            for v in node:
+                _walk(v, prefix)
+        else:
+            flat.append(("/".join(prefix) or "<root>", node))
+
+    _walk(intermediates, [])
+
+    records = []
+    first_bad = None
+    for name, leaf in flat:
+        a = np.asarray(leaf)
+        if not np.issubdtype(a.dtype, np.floating):
+            continue
+        af = np.abs(a.astype(np.float64))
+        n_nan = int(np.isnan(a).sum())
+        n_inf = int(np.isinf(a).sum())
+        fin = a[np.isfinite(a)]
+        rec = {
+            "layer": name,
+            "shape": tuple(a.shape),
+            "n_nan": n_nan,
+            "n_inf": n_inf,
+            "n_under": int((af < lower_bound_warn).sum()),
+            "n_over": int((af > upper_bound_warn).sum()),
+            "abs_max": float(np.abs(fin).max()) if fin.size else float("nan"),
+            "mean": float(fin.mean()) if fin.size else float("nan"),
+        }
+        records.append(rec)
+        if first_bad is None and (n_nan or n_inf):
+            first_bad = name
+    return {
+        "layers": records,
+        "first_bad": first_bad,
+        "n_bad": sum(1 for r in records if r["n_nan"] or r["n_inf"]),
+    }
+
+
+class ModelWatcher(Callback):
+    """Numeric sanitizer: NaN/Inf/bounds on loss, grad norm, params (debug).
+
+    With a `probe_fn` (typically `lambda: model.debug_probe(state.params,
+    batch, key)`), an alert additionally runs a capture_intermediates probe
+    step, names the FIRST layer producing a NaN/Inf, and dumps the full
+    per-layer report to `log_dir` — the reference ModelWatcherCallback's
+    fwd-hook capture + dump-to-disk debug story (reference:
+    main/callbacks.py:436-737), minus the ipdb attach (use the dumped report
+    + tools instead). `probe_every > 0` also probes periodically.
+    """
+
+    def __init__(
+        self,
+        check_params_every: int = 100,
+        param_bound: float = 1e4,
+        raise_on_error: bool = True,
+        probe_fn=None,
+        probe_every: int = 0,
+        log_dir: Optional[str] = None,
+        lower_bound_warn: float = 1e-7,
+        upper_bound_warn: float = 1e4,
+    ):
         self.check_params_every = check_params_every
         self.param_bound = param_bound
         self.raise_on_error = raise_on_error
+        self.probe_fn = probe_fn
+        self.probe_every = probe_every
+        self.log_dir = log_dir
+        self.lower_bound_warn = lower_bound_warn
+        self.upper_bound_warn = upper_bound_warn
         self.alerts: list[str] = []
+        self.last_report: Optional[dict] = None
 
     def _alert(self, msg: str):
+        if self.probe_fn is not None:
+            culprit = self._probe(step=None)
+            if culprit:
+                msg = f"{msg}; first bad layer: {culprit}"
         self.alerts.append(msg)
         logger.error(f"[watcher] {msg}")
         if self.raise_on_error:
             raise FloatingPointError(msg)
+
+    def _probe(self, step) -> Optional[str]:
+        """Run the capture probe; dump the per-layer report; return first_bad."""
+        try:
+            probed = self.probe_fn()
+        except Exception as e:  # noqa: BLE001 — a diagnostic must not mask the alert
+            logger.error(f"[watcher] probe failed: {e}")
+            return None
+        inter = probed.get("intermediates", probed) if isinstance(probed, dict) else probed
+        report = intermediates_report(inter, self.lower_bound_warn, self.upper_bound_warn)
+        self.last_report = report
+        if self.log_dir:
+            import json
+            import os
+
+            os.makedirs(self.log_dir, exist_ok=True)
+            tag = "alert" if step is None else f"step_{step}"
+            with open(os.path.join(self.log_dir, f"watcher_{tag}.json"), "w") as f:
+                json.dump(report, f, indent=1)
+        if report["first_bad"]:
+            logger.error(
+                f"[watcher] {report['n_bad']} layers with NaN/Inf; first: "
+                f"{report['first_bad']}"
+            )
+        return report["first_bad"]
 
     def on_train_batch_end(self, step, state, metrics):
         loss = float(metrics.get("loss", 0.0))
@@ -117,6 +236,8 @@ class ModelWatcher(Callback):
             finite = all(bool(np.isfinite(np.asarray(l)).all()) for l in leaves[:50])
             if not finite:
                 self._alert(f"non-finite parameters at step {step}")
+        if self.probe_fn is not None and self.probe_every and step % self.probe_every == 0:
+            self._probe(step)
 
 
 class ProgressPrinter(Callback):

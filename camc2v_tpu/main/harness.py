@@ -124,6 +124,11 @@ class Trainer:
         self.log_every_n_steps = max(1, log_every_n_steps)
         self._stop = False
         self._emergency_save = False
+        # most recent device batch / state, kept for debug probes (the
+        # ModelWatcher probe_fn closes over these to re-run the offending
+        # step with capture_intermediates)
+        self.last_batch = None
+        self.last_state = None
 
     def _flags_for(self, step: int) -> dict:
         flags: dict = {}
@@ -195,7 +200,9 @@ class Trainer:
                     device_batch = M.shard_batch(self.mesh, device_batch)
                 for cb in self.callbacks:
                     cb.on_data_loaded(step)
+                self.last_batch = device_batch
                 state, metrics = step_fn(state, device_batch, rng)
+                self.last_state = state
                 step += 1
                 # pulling metrics to host serialises dispatch — only sync on
                 # the logging interval so XLA can pipeline steps in between
