@@ -24,6 +24,7 @@ pad-to-max + mask variant is the planned TPU optimisation.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -205,10 +206,9 @@ class CamContextI2V(CamI2V):
             masking_on = cfg.adaptor.use_mask if adaptor_use_mask is None else adaptor_use_mask
             use_kernel_mask = False
             if (
-                inference
-                and ctx_valid is None
-                and masking_on
+                masking_on
                 and strategy == "token_concat_latent_epipolar"
+                and os.environ.get("CAMC2V_ADAPTOR_KERNEL", "1") == "1"
             ):
                 from camc2v_tpu.nn.epipolar import EpipolarConfig, plain_epipolar
                 from camc2v_tpu.ops import epipolar_flash as ef
@@ -225,16 +225,30 @@ class CamContextI2V(CamI2V):
                 )
 
             if use_kernel_mask:
-                # generation fast path: mask recomputed IN-KERNEL from the
-                # epipolar lines with SUBTILE skipping — the materialised
-                # (B, 16K, 3K) bool mask + dense-masked softmax was 65% of the
-                # 35-44 ms flagship adaptor (docs/profiles r4 adaptor trace)
+                # mask recomputed IN-KERNEL from the epipolar lines with
+                # SUBTILE skipping — the materialised (B, 16K, 3K) bool mask +
+                # dense-masked softmax was 65% of the 35-44 ms flagship adaptor
+                # (docs/profiles r4 adaptor trace). Since r5 the TRAIN step
+                # routes here too (VERDICT r4 #3): the kernel's custom VJP
+                # (Pallas dq/dk+dv with in-kernel mask recompute) replaces the
+                # dense-masked softmax + chunked lax.map backward inside the
+                # 484 ms train call. Kill switch: CAMC2V_ADAPTOR_KERNEL=0.
                 blk = ef.BLOCK_K if hw % ef.BLOCK_K == 0 else hw
                 F_cond = G.conditional_fundamental(
                     batch["camera_intrinsics"], batch["RT"], batch["RT_cond"],
                     cond_frame_index,
                 )
                 adapt_lines = ef.epipolar_lines(F_cond, hl, wl, 8)
+                if ctx_valid is not None:
+                    # padded context frames: NaN lines make every distance
+                    # comparison False — the exact F==0 semantics — so their
+                    # keys are hidden AND their subtiles skipped; register
+                    # tokens stay visible, matching the dense path's
+                    # token-validity columns
+                    fv = jnp.concatenate([jnp.ones((b, 1), bool), ctx_valid], axis=1)
+                    adapt_lines = jnp.where(
+                        fv[:, None, :, None], adapt_lines, jnp.nan
+                    )
                 adapt_tiles = ef.epipolar_tile_map(
                     adapt_lines, 1 + n_ctx, hl, wl, 8, block_q=ef.BLOCK_Q, block_k=blk
                 )

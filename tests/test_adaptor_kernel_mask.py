@@ -96,9 +96,10 @@ def test_kernel_mask_same_frame_pair_all_hidden(adaptor):
 
 
 def test_prepare_batch_dispatches_kernel_mask(monkeypatch):
-    """CamContextI2V.prepare_batch(inference=True) must route the adaptor
-    through the lines path at an eligible size and match the materialised
-    result; training (inference=False) keeps the materialised mask."""
+    """CamContextI2V.prepare_batch must route the adaptor through the lines
+    path at an eligible size — in BOTH generation and training since r5 (the
+    kernel's Pallas VJP covers the backward) — and match the materialised
+    path, which stays reachable via CAMC2V_ADAPTOR_KERNEL=0."""
     import sys, pathlib
     sys.path.insert(0, str(pathlib.Path(__file__).parent))
     from test_camera_models import BASE, POSE_ENC, unet  # tiny towers
@@ -155,8 +156,94 @@ def test_prepare_batch_dispatches_kernel_mask(monkeypatch):
     _, cond_inf = m.prepare_batch(p, batch, random_uncond=False, inference=True)
     assert not mask_calls  # inference: in-kernel lines, no materialised mask
     _, cond_train = m.prepare_batch(p, batch, random_uncond=False)
-    assert mask_calls  # training keeps the materialised mask (VJP-covered)
+    assert not mask_calls  # r5: training routes through the lines kernel too
+    monkeypatch.setenv("CAMC2V_ADAPTOR_KERNEL", "0")
+    _, cond_dense = m.prepare_batch(p, batch, random_uncond=False)
+    assert mask_calls  # kill switch restores the materialised-mask path
+    monkeypatch.delenv("CAMC2V_ADAPTOR_KERNEL")
     np.testing.assert_allclose(
         np.asarray(cond_inf["c_concat"]), np.asarray(cond_train["c_concat"]),
         atol=2e-4, rtol=1e-4,
     )
+    np.testing.assert_allclose(
+        np.asarray(cond_dense["c_concat"]), np.asarray(cond_train["c_concat"]),
+        atol=2e-4, rtol=1e-4,
+    )
+
+
+def test_kernel_mask_padded_context_matches_validity_columns(adaptor):
+    """ctx_valid support (train batches pad context to max count): NaN-ing the
+    padded frame's epipolar lines must equal the dense path's token-validity
+    columns exactly."""
+    m, params, x = adaptor
+    K, RT, RTc = _poses()
+    idx = jnp.zeros((1,), jnp.int32)
+    valid = jnp.asarray([[True, False]])  # second context frame is padding
+
+    mask = G.conditional_epipolar_mask(
+        K, RT, RTc, idx, IMG, IMG, downsample=8, config=EpipolarConfig()
+    )
+    token_valid = jnp.repeat(
+        jnp.concatenate([jnp.ones((1, 1), bool), valid], axis=1), HW, axis=1
+    )
+    out_mat = m.apply(
+        {"params": params}, x, mask & token_valid[:, None, :], use_mask=True
+    )
+
+    F = G.conditional_fundamental(K, RT, RTc, idx)
+    lines = ef.epipolar_lines(F, HL, HL, 8)
+    fv = jnp.concatenate([jnp.ones((1, 1), bool), valid], axis=1)
+    lines = jnp.where(fv[:, None, :, None], lines, jnp.nan)
+    blk = ef.BLOCK_K if HW % ef.BLOCK_K == 0 else HW
+    tiles = ef.epipolar_tile_map(lines, 1 + N_CTX, HL, HL, 8,
+                                 block_q=ef.BLOCK_Q, block_k=blk)
+    out_ker = m.apply(
+        {"params": params}, x, None, use_mask=True,
+        lines=lines, geom=(1 + N_CTX, HL, HL, 8, blk), tile_any=tiles,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_ker), np.asarray(out_mat), atol=2e-4, rtol=1e-4
+    )
+
+
+def test_kernel_mask_grads_match_dense(adaptor):
+    """Training-path contract: adaptor grads through the kernel (Pallas VJP
+    with in-kernel mask recompute) match the dense-masked softmax VJP."""
+    m, params, x = adaptor
+    K, RT, RTc = _poses()
+    idx = jnp.zeros((1,), jnp.int32)
+    mask = G.conditional_epipolar_mask(
+        K, RT, RTc, idx, IMG, IMG, downsample=8, config=EpipolarConfig()
+    )
+    F = G.conditional_fundamental(K, RT, RTc, idx)
+    lines = ef.epipolar_lines(F, HL, HL, 8)
+    blk = ef.BLOCK_K if HW % ef.BLOCK_K == 0 else HW
+    tiles = ef.epipolar_tile_map(lines, 1 + N_CTX, HL, HL, 8,
+                                 block_q=ef.BLOCK_Q, block_k=blk)
+
+    def loss_dense(p, xx):
+        out = m.apply({"params": p}, xx, mask, use_mask=True)
+        return jnp.sum(out**2)
+
+    def loss_kernel(p, xx):
+        out = m.apply(
+            {"params": p}, xx, None, use_mask=True,
+            lines=lines, geom=(1 + N_CTX, HL, HL, 8, blk), tile_any=tiles,
+        )
+        return jnp.sum(out**2)
+
+    gd_p, gd_x = jax.grad(loss_dense, argnums=(0, 1))(params, x)
+    gk_p, gk_x = jax.grad(loss_kernel, argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(gk_x), np.asarray(gd_x), atol=5e-3, rtol=5e-3)
+    flat_d = jax.tree_util.tree_flatten_with_path(gd_p)[0]
+    flat_k = dict(jax.tree_util.tree_flatten_with_path(gk_p)[0])
+    checked = 0
+    for path, gd in flat_d:
+        gk = flat_k[path]
+        scale = max(float(np.abs(np.asarray(gd)).max()), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(gk) / scale, np.asarray(gd) / scale, atol=5e-3,
+            err_msg=str(path),
+        )
+        checked += 1
+    assert checked > 10  # covered the depth-2 stack's params
