@@ -94,3 +94,55 @@ def test_flash_short_keys_padded():
         out = flash_attention(q, k, v)
         ref = _xla_attention(q, k, v, bias=None, mask=None, scale=D**-0.5)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+# --------------------------------------------------------- Pallas backward
+
+
+def _grads(loss, *args):
+    return jax.grad(loss, argnums=tuple(range(len(args))))(*args)
+
+
+def test_flash_pallas_bwd_matches_chunked_xla(monkeypatch):
+    """The round-5 Pallas backward (dq/dk+dv kernels, lse from the forward)
+    must match the chunked-XLA recompute VJP it replaces — masked and
+    unmasked, including multi-tile grids."""
+    q, k, v = _qkv(lq=2 * BLOCK_Q, lk=2 * BLOCK_K, seed=11)
+    rng = np.random.default_rng(4)
+    mask = jnp.asarray(rng.uniform(size=(B, 2 * BLOCK_Q, 2 * BLOCK_K)) > 0.4)
+
+    for m in (mask, None):
+        def loss(q, k, v, _m=m):
+            return jnp.sum(flash_attention(q, k, v, mask=_m) ** 2)
+
+        monkeypatch.delenv("CAMC2V_FLASH_PALLAS_BWD", raising=False)
+        gp = _grads(loss, q, k, v)
+        monkeypatch.setenv("CAMC2V_FLASH_PALLAS_BWD", "0")
+        gx = _grads(loss, q, k, v)
+        monkeypatch.delenv("CAMC2V_FLASH_PALLAS_BWD")
+        for a, b in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_flash_pallas_bwd_padded_and_fully_masked(monkeypatch):
+    """Padding columns and fully-masked query rows must produce exact-zero
+    contributions in the Pallas backward (lse = +1e30 rows -> p == 0), and
+    match the chunked-XLA VJP (which zeroes those rows explicitly — the plain
+    XLA softmax reference NaNs there, so it is not a usable oracle)."""
+    q, k, v = _qkv(lq=BLOCK_Q, lk=700, seed=5)
+    mask = jnp.ones((B, BLOCK_Q, 700), bool).at[:, :17].set(False)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, mask=mask) ** 2)
+
+    monkeypatch.delenv("CAMC2V_FLASH_PALLAS_BWD", raising=False)
+    gq, gk, gv = _grads(loss, q, k, v)
+    assert gk.shape == k.shape and gv.shape == v.shape
+    # fully-masked rows contribute no gradient anywhere
+    np.testing.assert_allclose(np.asarray(gq[:, :17]), 0.0, atol=1e-7)
+
+    monkeypatch.setenv("CAMC2V_FLASH_PALLAS_BWD", "0")
+    gx = _grads(loss, q, k, v)
+    monkeypatch.delenv("CAMC2V_FLASH_PALLAS_BWD")
+    for a, b in zip((gq, gk, gv), gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
