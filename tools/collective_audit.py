@@ -109,6 +109,8 @@ def main():
     ap.add_argument("--batch-per-device", type=int, default=1)
     ap.add_argument("--accum", type=int, default=4)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--dump-hlo", default=None,
+                    help="directory for per-mode optimized-HLO text dumps")
     args = ap.parse_args()
 
     flags = os.environ.get("XLA_FLAGS", "")
@@ -181,6 +183,10 @@ def main():
         lowered = step.lower(state_arg, sbatch, jax.random.key(1))
         compiled = lowered.compile()
         text = compiled.as_text()
+        if args.dump_hlo:
+            os.makedirs(args.dump_hlo, exist_ok=True)
+            with open(os.path.join(args.dump_hlo, f"{mode}.hlo.txt"), "w") as f:
+                f.write(text)
         rec = {"collectives": audit_hlo_text(text)}
         try:
             ma = compiled.memory_analysis()
