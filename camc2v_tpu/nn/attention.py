@@ -119,8 +119,14 @@ class CrossAttention(nn.Module):
             wk, _ = DenseParams(inner, use_bias=False, name="to_k")(x.shape[-1])
             wv, _ = DenseParams(inner, use_bias=False, name="to_v")(x.shape[-1])
             wo, bo = DenseParams(self.query_dim, name="to_out")(inner)
-            return ta.fused_temporal_mha(
-                x.astype(self.dtype), wq, wk, wv, wo, bo, heads=self.heads
+            from camc2v_tpu.parallel.kernel_shard import data_shard
+
+            return data_shard(
+                lambda x_, wq_, wk_, wv_, wo_, bo_: ta.fused_temporal_mha(
+                    x_, wq_, wk_, wv_, wo_, bo_, heads=self.heads
+                ),
+                (x.astype(self.dtype), wq, wk, wv, wo, bo),
+                (0, None, None, None, None, None), 0,
             )
 
         q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
@@ -367,9 +373,15 @@ class BasicTransformerBlock(nn.Module):
             wq, wk, wv, wo, bo = _MHAParams(
                 self.dim, self.n_heads, self.d_head, name=attn_name
             )(self.dim)
-            return ta.fused_temporal_mha(
-                x_in.astype(self.dtype), wq, wk, wv, wo, bo, heads=self.n_heads,
-                ln_scale=ls, ln_bias=lb, residual=True,
+            from camc2v_tpu.parallel.kernel_shard import data_shard
+
+            return data_shard(
+                lambda x_, *w: ta.fused_temporal_mha(
+                    x_, *w[:5], heads=self.n_heads,
+                    ln_scale=w[5], ln_bias=w[6], residual=True,
+                ),
+                (x_in.astype(self.dtype), wq, wk, wv, wo, bo, ls, lb),
+                (0,) + (None,) * 7, 0,
             )
 
         camera_branch = self.is_temporal and camera is not None and (
@@ -491,7 +503,13 @@ class BasicTransformerBlock(nn.Module):
         ):
             ls, lb = LayerNormParams(self.dim, name="norm3")()
             wp, bp, wf, bf = _FFParams(self.dim, name="ff")(self.dim)
-            x = gff.fused_ln_geglu_ff(x, ls, lb, wp, bp, wf, bf)
+            from camc2v_tpu.parallel.kernel_shard import data_shard
+
+            x = data_shard(
+                lambda x_, *w: gff.fused_ln_geglu_ff(x_, *w),
+                (x, ls, lb, wp, bp, wf, bf),
+                (0,) + (None,) * 6, 0,
+            )
         else:
             x = FeedForward(self.dim, dropout=self.dropout, dtype=self.dtype, name="ff")(
                 LayerNormF32(name="norm3")(x), deterministic=deterministic

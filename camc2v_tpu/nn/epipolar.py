@@ -202,12 +202,37 @@ class EpipolarCrossAttention(nn.Module):
             k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context_ext)
             v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context_ext)
             split = lambda z: z.reshape(z.shape[0], z.shape[1], self.heads, self.dim_head)
-            out = ef.epipolar_flash_attention(
-                split(q), split(k), split(v), lines,
-                t=t, h=hh, w=ww, downsample=ds, block_k=block_k,
-                num_registers=self.num_register_tokens, tile_any=tile_any,
-                penalties=penalties,
-            )
+            # shard the kernel over the data mesh axis when a trace mesh is
+            # active — SPMD replicates custom calls otherwise, all-gathering
+            # the global batch around every site (parallel/kernel_shard.py).
+            # Batch-shared penalties (pb == 1, the fused-CFG shared tile) ride
+            # replicated; a pb == b penalty stack shards with the batch.
+            from camc2v_tpu.parallel.kernel_shard import data_shard
+
+            kernel_args = [split(q), split(k), split(v), lines, tile_any]
+            batch_dims = [0, 0, 0, 0, 0]
+            if penalties is not None:
+                kernel_args.append(penalties)
+                batch_dims.append(0 if penalties.shape[0] == q.shape[0] else None)
+
+                def call(q_, k_, v_, l_, ta_, pen_):
+                    return ef.epipolar_flash_attention(
+                        q_, k_, v_, l_,
+                        t=t, h=hh, w=ww, downsample=ds, block_k=block_k,
+                        num_registers=self.num_register_tokens, tile_any=ta_,
+                        penalties=pen_,
+                    )
+            else:
+
+                def call(q_, k_, v_, l_, ta_):
+                    return ef.epipolar_flash_attention(
+                        q_, k_, v_, l_,
+                        t=t, h=hh, w=ww, downsample=ds, block_k=block_k,
+                        num_registers=self.num_register_tokens, tile_any=ta_,
+                        penalties=None,
+                    )
+
+            out = data_shard(call, kernel_args, batch_dims, 0)
             out = out.reshape(b, -1, inner)
             out_dim = self.out_dim if self.out_dim is not None else self.query_dim
             return Dense(out_dim, zero_init=self.zero_init_out, dtype=self.dtype, name="to_out")(out)

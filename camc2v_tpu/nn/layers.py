@@ -103,8 +103,13 @@ class GroupNorm32(nn.Module):
 
         if jax.default_backend() != "cpu":
             if gnops.group_norm_supported(x, groups):
-                return gnops.group_norm_fused(
-                    x, scale, bias, num_groups=groups, eps=self.epsilon, silu=silu
+                from camc2v_tpu.parallel.kernel_shard import data_shard
+
+                return data_shard(
+                    lambda x_, s_, b_: gnops.group_norm_fused(
+                        x_, s_, b_, num_groups=groups, eps=self.epsilon, silu=silu
+                    ),
+                    (x, scale, bias), (0, None, None), 0,
                 )
             # 5-D temporal norms (stats per (B, group) over T*H*W): two
             # row-parallel kernels sharing the proven 4-D block layout. The

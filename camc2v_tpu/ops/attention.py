@@ -84,7 +84,20 @@ def dot_product_attention(
         if fmask is None and mask is not None:
             pass  # unsupported mask layout -> XLA
         elif fa.flash_supported(q, k, fmask):
-            return fa.flash_attention(q, k, v, mask=fmask, scale=scale)
+            # under a mesh trace, shard_map the kernel over `data`: SPMD
+            # cannot partition custom calls and would otherwise all-gather
+            # the GLOBAL batch around every site (parallel/kernel_shard.py)
+            from camc2v_tpu.parallel.kernel_shard import data_shard
+
+            if fmask is None:
+                return data_shard(
+                    lambda q_, k_, v_: fa.flash_attention(q_, k_, v_, scale=scale),
+                    (q, k, v), (0, 0, 0), 0,
+                )
+            return data_shard(
+                lambda q_, k_, v_, m_: fa.flash_attention(q_, k_, v_, mask=m_, scale=scale),
+                (q, k, v, fmask), (0, 0, 0, 0), 0,
+            )
 
     return _xla_attention(q, k, v, bias=bias, mask=mask, scale=scale)
 

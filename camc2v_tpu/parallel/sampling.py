@@ -33,11 +33,16 @@ def make_sharded_sampler(model, mesh, sample_kwargs: Optional[dict] = None):
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
 
-    fn = jax.jit(
-        lambda p, b, k: model.sample(p, b, k, **kw),
-        in_shardings=(rep, bsh, rep),
-        out_shardings=bsh,
-    )
+    def run(p, b, k):
+        # activate the trace mesh so the Pallas kernel seams shard_map over
+        # `data` (parallel/kernel_shard.py) instead of being replicated by
+        # SPMD with global-batch all-gathers around every kernel site
+        from camc2v_tpu.parallel.tp import activation_sharding
+
+        with activation_sharding(mesh):
+            return model.sample(p, b, k, **kw)
+
+    fn = jax.jit(run, in_shardings=(rep, bsh, rep), out_shardings=bsh)
 
     def sampler(params: Any, device_batch: dict, key: jax.Array):
         n = mesh.shape[DATA_AXIS]
