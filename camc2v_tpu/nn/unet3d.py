@@ -93,6 +93,12 @@ class UNetConfig:
     #                keep matmul outputs (attn projections, FFs), recompute
     #                elementwise/norm/softmax chains only
     #   "dots_batch" dots_saveable (also batched dots, e.g. attention scores)
+    #   "pallas"     save Pallas custom-call outputs (flash/epipolar/temporal
+    #                /FF kernel outs AND their lse residuals — verified with
+    #                print_saved_residuals that partial-eval sees through the
+    #                custom_vjp fwd), recompute everything else: no kernel
+    #                fwd ever re-runs in the backward
+    #   "dots_pallas" union of "dots" and "pallas"
     # env override for A/B harnesses: CAMC2V_REMAT_POLICY
     remat_policy: Optional[str] = None
 
@@ -111,11 +117,27 @@ def _remat_policy(name: Optional[str]):
     if name in (None, "", "none"):
         return None
     pols = jax.checkpoint_policies
+
+    def pallas_saveable(prim, *_, **__):
+        # Pallas kernels lower to this primitive; marking it saveable makes
+        # partial-eval store the kernels' outputs AND the (out, lse) residuals
+        # their custom_vjp fwds produce, so no kernel forward re-runs in the
+        # backward (the r5 train profile attributed ~58 ms/step to exactly
+        # those re-runs: 15 epipolar fwd(+lse) + 12 flash fwd under remat).
+        return prim.name == "pallas_call"
+
     if name == "dots":
         return pols.dots_with_no_batch_dims_saveable
     if name == "dots_batch":
         return pols.dots_saveable
-    raise ValueError(f"unknown remat policy {name!r} (none | dots | dots_batch)")
+    if name == "pallas":
+        return pallas_saveable
+    if name == "dots_pallas":
+        return pols.save_from_both_policies(
+            pols.dots_with_no_batch_dims_saveable, pallas_saveable)
+    raise ValueError(
+        f"unknown remat policy {name!r} "
+        "(none | dots | dots_batch | pallas | dots_pallas)")
 
 
 class UNetModel(nn.Module):
