@@ -43,14 +43,18 @@ def tiny_config(**overrides):
 
 @pytest.fixture(scope="module")
 def model_and_params():
+    from util import perturb_zero_kernels
+
     model = DynamiCrafter(tiny_config(), dtype=jnp.float32)
     params = model.init_params(jax.random.key(0), image_hw=(IMG, IMG))
-    # perturb the zero-init output conv so the denoiser is non-degenerate
-    # (guidance_rescale divides by the std of the model output; an all-zero
-    # output — impossible with trained weights — would produce 0/0)
-    k = params["unet"]["out_conv"]["kernel"]
-    params["unet"]["out_conv"]["kernel"] = 0.02 * jax.random.normal(jax.random.key(9), k.shape, k.dtype)
-    return model, params
+    # Perturb ALL zero-init kernels (out_conv, transformer proj_out, ...), not
+    # just out_conv: zero proj_out makes every attention branch — and with it
+    # the CONTEXT — dead at init, so cond/uncond evals were bit-identical and
+    # any test of CFG-path behaviour (e.g. cfg_interval gating) was vacuous.
+    # (Before the temporal-cross-attention parity fix the context leaked
+    # through a non-zero temporal path, which masked this.) Trained weights
+    # are never zero; see tests/util.py::perturb_zero_kernels.
+    return model, perturb_zero_kernels(params)
 
 
 def _batch(b=1):
