@@ -225,6 +225,13 @@ def _flash_fwd(q, k, v, mask, scale, want_stats=False):
     ]
     compiler_params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "arbitrary"),
+        # The masked forward at hb=5/BK=1024 sits at ~16.0 MB of scoped VMEM —
+        # right at Mosaic's 16 MB default — and the lse output of the
+        # want_stats variant (Pallas backward) pushed it to 16.51 MB, failing
+        # the flagship TRAIN compile (r5c r2: "scoped allocation 16.51M,
+        # limit 16.00M" at the spatial attn sites). The backward kernels
+        # below already raise the limit; raise it here too.
+        vmem_limit_bytes=32 * 1024 * 1024,
     )
     interpret = jax.default_backend() == "cpu"
     out_shape = jax.ShapeDtypeStruct((b * g, hb, lq, d), q.dtype)
