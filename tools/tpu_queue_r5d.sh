@@ -44,11 +44,14 @@ run() { # name, env..., -- cmd...
   tail -3 "$OUT/$name.out" 2>/dev/null
 }
 
-run c1_conditioning NOOP=1 -- python tools/bench_conditioning.py \
-  --iters 12 --out "$OUT/cond_attrib.json"
+# e2e refresh FIRST: it also warms the persistent compile cache for the
+# driver's end-of-round bench.py run (cold flagship compiles measured up to
+# ~60 min through the round-5 tunnel — do not leave this to the queue tail)
+run c3_e2e NOOP=1 -- python bench.py
 run c2_temporal14 CAMC2V_TEMPORAL_MAX_WEIGHT_MB=14 -- \
   python bench.py --unet-only --iters 3
-run c3_e2e NOOP=1 -- python bench.py
+run c1_conditioning NOOP=1 -- python tools/bench_conditioning.py \
+  --iters 12 --out "$OUT/cond_attrib.json"
 run c4_train_profile "$WINNER" -- python tools/tpu_profile_train.py \
   --logdir "$OUT/train_profile"
 

@@ -52,8 +52,6 @@ run() { # name, env..., -- cmd...
 
 run p1_dots_pallas CAMC2V_REMAT_POLICY=dots_pallas -- \
   python tools/bench_trainstep.py --steps 6
-run p2_pallas CAMC2V_REMAT_POLICY=pallas -- \
-  python tools/bench_trainstep.py --steps 6
 
 # global winner across the r5c and r5e train rungs
 last_ms() { # dir name
@@ -76,14 +74,14 @@ EOF
 }
 
 R2=$(last_ms "$R5C" r2_flashbwd); R3=$(last_ms "$R5C" r3_dots)
-P1=$(last_ms "$OUT" p1_dots_pallas); P2=$(last_ms "$OUT" p2_pallas)
-echo "train rungs: default=$R2 dots=$R3 dots_pallas=$P1 pallas=$P2 ms" | tee -a "$OUT/queue.log"
+P1=$(last_ms "$OUT" p1_dots_pallas)
+echo "train rungs: default=$R2 dots=$R3 dots_pallas=$P1 ms" | tee -a "$OUT/queue.log"
 
-WIN_ENV=$(python - "$R2" "$R3" "$P1" "$P2" <<'EOF'
+WIN_ENV=$(python - "$R2" "$R3" "$P1" <<'EOF'
 import sys
 names = ["NOOP=1", "CAMC2V_REMAT_POLICY=dots",
-         "CAMC2V_REMAT_POLICY=dots_pallas", "CAMC2V_REMAT_POLICY=pallas"]
-vals = [float(a) if a else 1e9 for a in sys.argv[1:5]]
+         "CAMC2V_REMAT_POLICY=dots_pallas"]
+vals = [float(a) if a else 1e9 for a in sys.argv[1:4]]
 print(names[vals.index(min(vals))])
 EOF
 )
@@ -98,5 +96,15 @@ esac
 
 echo "r5e queue complete" | tee -a "$OUT/queue.log"
 
-# chain the conditioning / temporal14 / e2e / train-profile queue
+# chain the e2e-refresh / temporal14 / conditioning / train-profile queue
 bash tools/tpu_queue_r5d.sh /tmp/r5d "" "$WIN_ENV" 2>&1 | tee -a "$OUT/r5d_chain.log"
+
+# least-valuable rungs last:
+# p2 isolates the dots term of dots_pallas; p4 A/Bs the round-5 adaptor
+# lines-kernel TRAIN routing under the winner (r1 measured 509.6 ms vs the
+# r4 484 ms baseline — if the regression is the adaptor kernel, this rung
+# shows it directly and CAMC2V_ADAPTOR_KERNEL defaults should flip for train)
+run p2_pallas CAMC2V_REMAT_POLICY=pallas -- \
+  python tools/bench_trainstep.py --steps 6
+run p4_adaptor_off "$WIN_ENV" CAMC2V_ADAPTOR_KERNEL=0 -- \
+  python tools/bench_trainstep.py --steps 6
