@@ -40,11 +40,13 @@ from jax.experimental.pallas import tpu as pltpu
 _TILE_ROWS = 128
 # row-groups processed per grid step (fewer grid steps, same VPU work)
 _GROUPS = 2
-# VMEM budget for resident weights + working tiles. The default admits the
-# C<=640 levels; the C=1280 (ds32/ds64, heads=20) sites need ~13.1 MB of
-# resident weights — raise via CAMC2V_TEMPORAL_MAX_WEIGHT_MB to A/B routing
-# them through the kernel (the Mosaic vmem limit scales automatically).
-_DEFAULT_MAX_WEIGHT_MB = 8.0
+# VMEM budget for resident weights + working tiles. 14 MB (round-5 default)
+# also admits the C=1280 (ds32/ds64, heads=20) sites, whose ~13.1 MB of
+# resident weights the old 8 MB default rejected: flagship unet-only step
+# 152.1 ms vs ~155.5 with those sites on the XLA path (r5d c2 A/B, 3-iter
+# fetch-synced median). Lower via CAMC2V_TEMPORAL_MAX_WEIGHT_MB to A/B (the
+# Mosaic vmem limit scales automatically).
+_DEFAULT_MAX_WEIGHT_MB = 14.0
 
 
 def _max_weight_bytes() -> int:
