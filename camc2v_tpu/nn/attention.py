@@ -113,7 +113,8 @@ class CrossAttention(nn.Module):
             and x.shape[1] <= 32
             and ta.fused_enabled()
             and ta.supported(x.shape[0], x.shape[1], x.shape[-1], self.query_dim,
-                             self.heads, self.dim_head)
+                             self.heads, self.dim_head,
+                             training=not deterministic)
         ):
             wq, _ = DenseParams(inner, use_bias=False, name="to_q")(x.shape[-1])
             wk, _ = DenseParams(inner, use_bias=False, name="to_k")(x.shape[-1])
@@ -365,7 +366,8 @@ class BasicTransformerBlock(nn.Module):
                 and x.shape[1] <= 32
                 and ta.fused_enabled()
                 and ta.supported(x.shape[0], x.shape[1], self.dim, self.dim,
-                                 self.n_heads, self.d_head)
+                                 self.n_heads, self.d_head,
+                                 training=not deterministic)
             )
 
         def _fused_ln_attn(x_in, ln_name, attn_name):

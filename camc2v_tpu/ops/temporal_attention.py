@@ -40,20 +40,31 @@ from jax.experimental.pallas import tpu as pltpu
 _TILE_ROWS = 128
 # row-groups processed per grid step (fewer grid steps, same VPU work)
 _GROUPS = 2
-# VMEM budget for resident weights + working tiles. 14 MB (round-5 default)
-# also admits the C=1280 (ds32/ds64, heads=20) sites, whose ~13.1 MB of
-# resident weights the old 8 MB default rejected: flagship unet-only step
-# 152.1 ms vs ~155.5 with those sites on the XLA path (r5d c2 A/B, 3-iter
-# fetch-synced median). Lower via CAMC2V_TEMPORAL_MAX_WEIGHT_MB to A/B (the
-# Mosaic vmem limit scales automatically).
+# VMEM budget for resident weights + working tiles, split by direction
+# (round-5 A/Bs, fetch-synced flagship medians):
+#   * INFERENCE 14 MB — also admits the C=1280 (ds32/ds64, heads=20) sites,
+#     whose ~13.1 MB of resident weights the old 8 MB budget rejected:
+#     fused-CFG unet-only step 152.1 vs ~155.5 ms (r5d c2).
+#   * TRAINING 8 MB — the same C=1280 sites measured +15.7 ms/step in the
+#     train backward (519.2 vs 503.5 same-session; the kernel's custom VJP
+#     loses to XLA's backward at that width), so training keeps them on the
+#     XLA path.
+# A/B via CAMC2V_TEMPORAL_MAX_WEIGHT_MB / _TRAIN (the Mosaic vmem limit
+# scales automatically).
 _DEFAULT_MAX_WEIGHT_MB = 14.0
+_DEFAULT_MAX_WEIGHT_MB_TRAIN = 8.0
 
 
-def _max_weight_bytes() -> int:
+def _max_weight_bytes(training: bool = False) -> int:
     import os
 
-    return int(float(os.environ.get(
-        "CAMC2V_TEMPORAL_MAX_WEIGHT_MB", str(_DEFAULT_MAX_WEIGHT_MB))) * 1024 * 1024)
+    if training:
+        v = os.environ.get(
+            "CAMC2V_TEMPORAL_MAX_WEIGHT_MB_TRAIN", str(_DEFAULT_MAX_WEIGHT_MB_TRAIN))
+    else:
+        v = os.environ.get(
+            "CAMC2V_TEMPORAL_MAX_WEIGHT_MB", str(_DEFAULT_MAX_WEIGHT_MB))
+    return int(float(v) * 1024 * 1024)
 
 
 _USE_FUSED: Optional[bool] = None
@@ -75,8 +86,12 @@ def fused_enabled() -> bool:
     return jax.default_backend() != "cpu"
 
 
-def supported(n: int, t: int, c_in: int, c_out: int, heads: int, dim_head: int) -> bool:
-    """Static eligibility of the fused kernel for an (N, T, C) problem."""
+def supported(n: int, t: int, c_in: int, c_out: int, heads: int, dim_head: int,
+              training: bool = False) -> bool:
+    """Static eligibility of the fused kernel for an (N, T, C) problem.
+
+    `training` selects the train-side weight budget (the kernel's custom VJP
+    loses to XLA at C=1280, so training keeps a tighter admission)."""
     inner = heads * dim_head
     if t < 2 or t > _TILE_ROWS or _TILE_ROWS % t != 0:
         return False
@@ -88,7 +103,7 @@ def supported(n: int, t: int, c_in: int, c_out: int, heads: int, dim_head: int) 
     if n % pack != 0:
         return False
     # resident weights: 3x (H, C_in, D) + (C_inner, C_out) in bf16
-    if (3 * heads * c_in * dim_head + inner * c_out) * 2 > _max_weight_bytes():
+    if (3 * heads * c_in * dim_head + inner * c_out) * 2 > _max_weight_bytes(training):
         return False
     return True
 

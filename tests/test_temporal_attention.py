@@ -239,8 +239,14 @@ def test_supported_predicate_gates(monkeypatch):
     assert not ta.supported(16, 16, 96, 96, 2, 48)       # c too small / d%8
     assert not ta.supported(16, 48, 320, 320, 5, 64)     # T doesn't divide 128
     # C=1280 (heads=20, ~13.1 MB resident weights) is admitted by the 14 MB
-    # round-5 default, and rejected again under the round-4 8 MB budget
+    # round-5 INFERENCE default, rejected by the 8 MB TRAIN default (its
+    # custom VJP measured +15.7 ms/step vs XLA at flagship), and rejected
+    # again under an explicit 8 MB inference budget
     assert ta.supported(32, 16, 1280, 1280, 20, 64)
+    assert not ta.supported(32, 16, 1280, 1280, 20, 64, training=True)
+    monkeypatch.setenv("CAMC2V_TEMPORAL_MAX_WEIGHT_MB_TRAIN", "14")
+    assert ta.supported(32, 16, 1280, 1280, 20, 64, training=True)
+    monkeypatch.delenv("CAMC2V_TEMPORAL_MAX_WEIGHT_MB_TRAIN")
     monkeypatch.setenv("CAMC2V_TEMPORAL_MAX_WEIGHT_MB", "8")
     assert not ta.supported(32, 16, 1280, 1280, 20, 64)
     monkeypatch.delenv("CAMC2V_TEMPORAL_MAX_WEIGHT_MB")
