@@ -385,10 +385,32 @@ class DynamiCrafter:
 
     # -------------------------------------------------------------- denoise
     def apply_model(
-        self, params: dict, x_noisy: jax.Array, t: jax.Array, cond: dict, fs: Optional[jax.Array] = None
+        self,
+        params: dict,
+        x_noisy: jax.Array,
+        t: jax.Array,
+        cond: dict,
+        fs: Optional[jax.Array] = None,
+        *,
+        deterministic: bool = True,
+        dropout_rng: Optional[jax.Array] = None,
     ) -> jax.Array:
-        """Hybrid conditioning dispatch. reference: ddpm3d.py:1251-1320."""
+        """Hybrid conditioning dispatch. reference: ddpm3d.py:1251-1320.
+
+        `deterministic=False` (training only — p_losses) enables the UNet's
+        dropout (reference trains with dropout 0.1, camcontexti2v_256.yaml:56)
+        and the per-block flax remat. Through round 5 this flag was never
+        threaded, so training silently ran the eval-mode UNet: no dropout and
+        no flax-level remat — the step fit HBM only because XLA's automatic
+        HLO rematerialisation kicked in (the `.remat2` fusion labels in the
+        r5 profiles are XLA's, not flax's), and the CAMC2V_REMAT_POLICY
+        ladder compiled byte-identical programs (its ±15 ms spread is a
+        measured tunnel-noise bound, kept in PERF.md as exactly that)."""
         xc = jnp.concatenate([x_noisy, cond["c_concat"]], axis=-1)
+        rngs = None
+        if not deterministic:
+            assert dropout_rng is not None, "training UNet eval needs a dropout rng"
+            rngs = {"dropout": dropout_rng}
         return self.unet.apply(
             {"params": params["unet"]},
             xc,
@@ -397,6 +419,8 @@ class DynamiCrafter:
             fs,
             cond.get("camera"),
             context_mask=cond.get("c_crossattn_mask"),
+            deterministic=deterministic,
+            rngs=rngs,
         )
 
     # ----------------------------------------------------------------- loss
@@ -419,7 +443,7 @@ class DynamiCrafter:
     ) -> tuple[jax.Array, dict]:
         """reference: ddpm3d.py:741-785 + camcontexti2v.py:785-815."""
         cfg = self.config
-        nkey, okey = jax.random.split(rng)
+        nkey, okey, dkey = jax.random.split(rng, 3)
         noise = jax.random.normal(nkey, z.shape, z.dtype)
         if cfg.noise_strength > 0:
             b, tt = z.shape[:2]
@@ -428,7 +452,9 @@ class DynamiCrafter:
         if cfg.use_dynamic_rescale:
             z = z * extract(self.scale_arr, t, z.ndim)
         x_noisy = q_sample(self.schedule, z, t, noise)
-        model_output = self.apply_model(params, x_noisy, t, cond, fs)
+        model_output = self.apply_model(
+            params, x_noisy, t, cond, fs, deterministic=False, dropout_rng=dkey
+        )
 
         if cfg.parameterization == "x0":
             target = z
